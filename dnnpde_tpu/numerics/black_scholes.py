@@ -1,0 +1,98 @@
+"""Black–Scholes closed forms (JAX-native, vmappable).
+
+Parity targets:
+- ``black_scholes_call(S, K, T, r, sigma, q)`` and per-(path, step) price
+  grids (reference ``VanillaOptionPriceCalculator``,
+  ``1d_BSPDE_case.py:605-636`` — an O(rows·cols) Python loop there; here a
+  single vectorized evaluation).
+- Vectorized basket variant treating the basket sum as one lognormal
+  (reference ``BasketOptionPriceCalculator``, ``nd_BSPDE_case.py:621-658``).
+- Analytical basket approximation with σ_avg = σ/√D (reference
+  ``AnalyticalBlackScholes``, ``numerics/multidimensional_mc_pricer.py:96-108``;
+  ``BasicOptionPriceCalculator.black_scholes_call``,
+  ``hjb_implement.py:651-688``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+Array = jnp.ndarray
+
+
+def black_scholes_call(
+    S: Array, K: float, T: Array, r: float, sigma: float, q: float = 0.0
+) -> Array:
+    """European call price; fully broadcastable over S and T (time to maturity).
+
+    Handles T → 0 by returning intrinsic value (the reference's grid loop
+    evaluates at T−t which reaches 0 at terminal time).
+    """
+    S = jnp.asarray(S)
+    T = jnp.asarray(T)
+    eps = 1e-12
+    Tc = jnp.maximum(T, eps)
+    sqrtT = jnp.sqrt(Tc)
+    d1 = (jnp.log(jnp.maximum(S, eps) / K) + (r - q + 0.5 * sigma**2) * Tc) / (
+        sigma * sqrtT
+    )
+    d2 = d1 - sigma * sqrtT
+    price = S * jnp.exp(-q * Tc) * norm.cdf(d1) - K * jnp.exp(-r * Tc) * norm.cdf(d2)
+    intrinsic = jnp.maximum(S - K, 0.0)
+    return jnp.where(T <= eps, intrinsic, price)
+
+
+def black_scholes_delta(
+    S: Array, K: float, T: Array, r: float, sigma: float, q: float = 0.0
+) -> Array:
+    """Call delta ∂C/∂S (reference computes deltas alongside price grids)."""
+    S = jnp.asarray(S)
+    T = jnp.asarray(T)
+    eps = 1e-12
+    Tc = jnp.maximum(T, eps)
+    d1 = (jnp.log(jnp.maximum(S, eps) / K) + (r - q + 0.5 * sigma**2) * Tc) / (
+        sigma * jnp.sqrt(Tc)
+    )
+    return jnp.where(T <= eps, (S > K).astype(S.dtype), jnp.exp(-q * Tc) * norm.cdf(d1))
+
+
+def call_price_grid(
+    X_paths: Array, t_grid: Array, K: float, T: float, r: float, sigma: float
+) -> tuple[Array, Array]:
+    """Exact call price + delta at every (path, step) of a path array.
+
+    Args:
+      X_paths: (M, N+1) spot levels (for baskets, pass the aggregated level).
+      t_grid:  (N+1,) or (M, N+1) times.
+    Returns: (prices, deltas), each (M, N+1).
+
+    Replaces the reference's per-cell Python loop
+    (``1d_BSPDE_case.py:614-636``) with one broadcasted evaluation.
+    """
+    tau = T - t_grid
+    return (
+        black_scholes_call(X_paths, K, tau, r, sigma),
+        black_scholes_delta(X_paths, K, tau, r, sigma),
+    )
+
+
+def basket_analytical_approx(
+    S0: Array, K: float, T: float, r: float, sigma: float, D: int
+) -> Array:
+    """Basket ≈ single lognormal with σ_avg = σ/√D on the mean spot
+    (reference ``AnalyticalBlackScholes.price``,
+    ``numerics/multidimensional_mc_pricer.py:96-108``)."""
+    mean_spot = jnp.mean(jnp.asarray(S0))
+    return black_scholes_call(mean_spot, K, jnp.asarray(T), r, sigma / jnp.sqrt(D))
+
+
+def bsb_exact_solution(
+    t: Array, X: Array, T: float, r: float = 0.05, sigma_bar: float = 0.4
+) -> Array:
+    """Black–Scholes–Barenblatt closed form u = exp((r+σ̄²)(T−t))·ΣX²
+    (reference ``DeepBSDE.py:345-349``). X: (..., D); t broadcastable."""
+    return jnp.exp((r + sigma_bar**2) * (T - jnp.asarray(t))) * jnp.sum(
+        jnp.asarray(X) ** 2, axis=-1, keepdims=True
+    )

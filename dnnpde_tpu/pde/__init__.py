@@ -1,0 +1,24 @@
+"""PDE problem definitions (the reference's phi/g/mu/sigma zoo, SURVEY.md §2.3)."""
+
+from dnnpde_tpu.pde.base import PDEProblem, as_callable_problem
+from dnnpde_tpu.pde.heston import HestonPDE
+from dnnpde_tpu.pde.problems import (
+    BSPDETestCase,
+    BasketCallOption,
+    BlackScholesBarenblatt,
+    CallOption1D,
+    CallOptionND,
+    HamiltonJacobiBellman,
+)
+
+__all__ = [
+    "PDEProblem",
+    "as_callable_problem",
+    "BlackScholesBarenblatt",
+    "CallOption1D",
+    "CallOptionND",
+    "BasketCallOption",
+    "BSPDETestCase",
+    "HamiltonJacobiBellman",
+    "HestonPDE",
+]

@@ -1,0 +1,174 @@
+"""PDE problem interface for the deep-BSDE solver.
+
+A problem defines the semilinear parabolic PDE
+
+    u_t + ½ Tr[σσᵀ D²u] + μ·Du = φ(t, X, u, σᵀDu),   u(T, X) = g(X)
+
+through four batched pure functions (the reference's abstract methods
+``phi_tf/g_tf/mu_tf/sigma_tf``, ``1d_BSPDE_case.py:466-508``). Problems here
+are *data + pure functions* (frozen dataclasses), not stateful subclasses —
+this removes the 5×-copy-paste drift documented in SURVEY.md §1 and keeps
+everything jit-traceable.
+
+Shape conventions (batch M, state dim D, noise dim Dw):
+  t: (M, 1)   X: (M, D)   Y: (M, 1)   Z: (M, D)
+  mu    → (M, D)
+  sigma → (M, D)        when ``sigma_kind == "diag"`` (diagonal diffusion —
+                         the common case; avoids materializing M×D×D, per
+                         SURVEY.md §7 "diag_embed → elementwise multiply")
+        → (M, D, Dw)    when ``sigma_kind == "full"`` (e.g. Heston 2×2 with ρ)
+  phi   → (M, 1)
+  g     → (M, 1)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class PDEProblem:
+    """Base problem. Subclasses override the dynamics/generator methods.
+
+    Attributes:
+      dim: state dimension D.
+      noise_dim: Brownian dimension Dw (== dim unless overridden).
+      T: terminal time.
+      x0: initial state, shape (D,).
+      sigma_kind: "diag" | "full" — shape contract of :meth:`sigma`.
+      clamp_u: if set, network output u is clamped to [clamp_u, ∞) — used by
+        the Heston problem (reference ``heston_dnnpde.py:568``).
+      z_penalty_mask: optional (D,) 0/1 mask selecting which components of Z
+        enter the terminal gradient penalty (Heston penalizes only Z_S,
+        reference ``heston_dnnpde.py:654``). None → all components.
+    """
+
+    T: float = 1.0
+    name: str = "pde"
+
+    # --- static problem metadata (overridden per subclass) -----------------
+    @property
+    def dim(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def noise_dim(self) -> int:
+        return self.dim
+
+    @property
+    def sigma_kind(self) -> str:
+        return "diag"
+
+    @property
+    def clamp_u(self) -> Optional[float]:
+        return None
+
+    @property
+    def z_penalty_mask(self) -> Optional[Array]:
+        return None
+
+    @property
+    def x0(self) -> Array:
+        raise NotImplementedError
+
+    # --- dynamics / generator ----------------------------------------------
+    def mu(self, t: Array, X: Array, Y: Array, Z: Array) -> Array:
+        """SDE drift, (M, D)."""
+        raise NotImplementedError
+
+    def sigma(self, t: Array, X: Array, Y: Array) -> Array:
+        """SDE diffusion, (M, D) diag or (M, D, Dw) full."""
+        raise NotImplementedError
+
+    def phi(self, t: Array, X: Array, Y: Array, Z: Array) -> Array:
+        """BSDE generator (driver), (M, 1)."""
+        raise NotImplementedError
+
+    def g(self, X: Array) -> Array:
+        """Terminal condition, (M, 1)."""
+        raise NotImplementedError
+
+    def Dg(self, X: Array) -> Array:
+        """Gradient of the terminal condition w.r.t. X, (M, D).
+
+        Default: autodiff of :meth:`g` (reference ``Dg_tf``,
+        ``1d_BSPDE_case.py:231-243``). Since g is applied per-sample, the
+        grad-of-sum trick yields the batched Jacobian in one reverse pass.
+        """
+        return jax.grad(lambda x: jnp.sum(self.g(x)))(X)
+
+    # --- optional oracle -----------------------------------------------------
+    def exact_solution(self, t: Array, X: Array) -> Optional[Array]:
+        """Closed-form u(t, X) when known, else None."""
+        return None
+
+    @property
+    def has_exact_solution(self) -> bool:
+        z = jnp.zeros((1, self.dim))
+        return self.exact_solution(jnp.zeros((1, 1)), z) is not None
+
+    # --- diffusion application helpers (used by the solver & simulators) ----
+    def sigma_dw(self, sig: Array, dW: Array) -> Array:
+        """Apply diffusion to a Brownian increment: σ·ΔW, (M, D)."""
+        if self.sigma_kind == "diag":
+            return sig * dW
+        return jnp.einsum("mij,mj->mi", sig, dW)
+
+    def z_sigma_dw(self, Z: Array, sig: Array, dW: Array) -> Array:
+        """BSDE martingale term Zᵀ(σ·ΔW) summed over dims, (M, 1)."""
+        return jnp.sum(Z * self.sigma_dw(sig, dW), axis=-1, keepdims=True)
+
+
+def as_callable_problem(
+    *,
+    dim: int,
+    T: float,
+    x0,
+    mu: Callable,
+    sigma: Callable,
+    phi: Callable,
+    g: Callable,
+    sigma_kind: str = "diag",
+    name: str = "custom",
+    exact: Optional[Callable] = None,
+) -> PDEProblem:
+    """Build an ad-hoc problem from plain functions (for user extension/tests)."""
+
+    x0_arr = jnp.asarray(x0, dtype=jnp.float32).reshape(dim)
+
+    @dataclasses.dataclass(frozen=True)
+    class _Custom(PDEProblem):
+        @property
+        def dim(self) -> int:
+            return dim
+
+        @property
+        def sigma_kind(self) -> str:
+            return sigma_kind
+
+        @property
+        def x0(self) -> Array:
+            return x0_arr
+
+        def mu(self, t, X, Y, Z):
+            return mu(t, X, Y, Z)
+
+        def sigma(self, t, X, Y):
+            return sigma(t, X, Y)
+
+        def phi(self, t, X, Y, Z):
+            return phi(t, X, Y, Z)
+
+        def g(self, X):
+            return g(X)
+
+        def exact_solution(self, t, X):
+            return exact(t, X) if exact is not None else None
+
+    return _Custom(T=T, name=name)

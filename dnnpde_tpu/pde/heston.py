@@ -1,0 +1,97 @@
+"""Heston stochastic-volatility PDE problem.
+
+2-factor state X = (S, v): CIR variance drift, 2×2 correlated diffusion
+(reference ``heston_dnnpde.py:519-659``):
+
+  mu    = [r·S, κ(θ − v)]                       (clamped to ±100, :587-591)
+  sigma = [[√v·S,   ρ·σ_v·√v],
+           [ρ·√v·S, σ_v·√v  ]]                  (clamped to ±100, :593-605)
+  phi   = r·Y                                    (:607-609)
+  g     = max(S − K, 0)  or  sigmoid-smoothed    (:546-558, alpha = 10)
+
+Fits the generic solver contract: the network takes (t, S, v) (state dim 2 →
+input width 3 naturally — the reference patches torch layer objects instead,
+``heston_dnnpde.py:532-541``), Z = ∇ₓu = (∂u/∂S, ∂u/∂v), and the terminal
+gradient penalty applies only to Z_S via ``z_penalty_mask``
+(``heston_dnnpde.py:654``). The network output is clamped to u ≥ 0
+(``heston_dnnpde.py:568``) via ``clamp_u``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from dnnpde_tpu.pde.base import Array, PDEProblem
+
+
+@dataclasses.dataclass(frozen=True)
+class HestonPDE(PDEProblem):
+    """Heston FBSNN problem (reference defaults κ=2, θ=0.2, σ_v=0.3, ρ=0.8,
+    v0=0.2, r=0.05, K=strike=1.0, S0=1.0)."""
+
+    S0: float = 1.0
+    v0: float = 0.2
+    r: float = 0.05
+    kappa: float = 2.0
+    theta: float = 0.2
+    sigma_v: float = 0.3
+    rho: float = 0.8
+    strike: float = 1.0
+    payoff_type: str = "discontinuous"  # or "continuous" (sigmoid-smoothed)
+    smoothing_alpha: float = 10.0
+    clamp_bound: float = 100.0
+    name: str = "Heston"
+
+    @property
+    def dim(self) -> int:
+        return 2
+
+    @property
+    def sigma_kind(self) -> str:
+        return "full"
+
+    @property
+    def clamp_u(self) -> Optional[float]:
+        return 0.0
+
+    @property
+    def z_penalty_mask(self) -> Optional[Array]:
+        return jnp.array([1.0, 0.0], dtype=jnp.float32)
+
+    @property
+    def x0(self) -> Array:
+        return jnp.array([self.S0, self.v0], dtype=jnp.float32)
+
+    def mu(self, t, X, Y, Z):
+        S, v = X[..., 0:1], X[..., 1:2]
+        mu_s = self.r * S
+        mu_v = self.kappa * (self.theta - v)
+        out = jnp.concatenate([mu_s, mu_v], axis=-1)
+        return jnp.clip(out, -self.clamp_bound, self.clamp_bound)
+
+    def sigma(self, t, X, Y):
+        S, v = X[..., 0], X[..., 1]
+        sqrt_v = jnp.sqrt(jnp.clip(v, 1e-8, None))
+        sig_s = sqrt_v * S
+        sig_v = self.sigma_v * sqrt_v
+        row0 = jnp.stack([sig_s, self.rho * sig_v], axis=-1)
+        row1 = jnp.stack([self.rho * sig_s, sig_v], axis=-1)
+        out = jnp.stack([row0, row1], axis=-2)  # (M, 2, 2)
+        return jnp.clip(out, -self.clamp_bound, self.clamp_bound)
+
+    def phi(self, t, X, Y, Z):
+        return self.r * Y
+
+    def g(self, X):
+        S = X[..., 0:1]
+        if self.payoff_type == "discontinuous":
+            return jnp.maximum(S - self.strike, 0.0)
+        elif self.payoff_type == "continuous":
+            z = S - self.strike
+            return z / (1.0 + jnp.exp(-self.smoothing_alpha * z))
+        raise ValueError(
+            "Invalid payoff_type; choose 'discontinuous' or 'continuous'."
+        )

@@ -1,0 +1,254 @@
+"""The PDE problem zoo (SURVEY.md §2.3).
+
+Each problem cites the reference definition it reproduces. All coefficients
+are parametrized (the reference hard-codes several strike conventions —
+K = 1.0·D in ``1d_BSPDE_case.py:160`` vs K = 1.0 in ``hjb_implement.py:152`` —
+both are expressible here via the ``strike`` field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from dnnpde_tpu.pde.base import Array, PDEProblem
+
+
+def _ones_x0(dim: int, lo: float = 1.0, hi: float = 0.5) -> Array:
+    """Reference initial condition: alternating [1, 0.5, 1, 0.5, ...].
+
+    (``DeepBSDE.py:437``: ``np.array([1.0, 0.5] * 50)`` for D=100.)
+    """
+    base = jnp.tile(jnp.array([lo, hi], dtype=jnp.float32), (dim + 1) // 2)
+    return base[:dim]
+
+
+@dataclasses.dataclass(frozen=True)
+class BlackScholesBarenblatt(PDEProblem):
+    """100D Black–Scholes–Barenblatt equation.
+
+    phi = r(Y − ΣXZ), g = Σ X², mu = 0, sigma = σ_bar·diag(X)
+    (reference ``DeepBSDE.py:326-341``), with closed form
+    u(t,X) = exp((r + σ̄²)(T − t))·ΣX² (``DeepBSDE.py:345-349``).
+    """
+
+    D: int = 100
+    r: float = 0.05
+    sigma_bar: float = 0.4
+    name: str = "BlackScholesBarenblatt"
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def x0(self) -> Array:
+        return _ones_x0(self.D)
+
+    def mu(self, t, X, Y, Z):
+        return jnp.zeros_like(X)
+
+    def sigma(self, t, X, Y):
+        return self.sigma_bar * X
+
+    def phi(self, t, X, Y, Z):
+        return self.r * (Y - jnp.sum(X * Z, axis=-1, keepdims=True))
+
+    def g(self, X):
+        return jnp.sum(X**2, axis=-1, keepdims=True)
+
+    def exact_solution(self, t, X):
+        return jnp.exp((self.r + self.sigma_bar**2) * (self.T - t)) * jnp.sum(
+            X**2, axis=-1, keepdims=True
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CallOption1D(PDEProblem):
+    """1D European call under Black–Scholes dynamics.
+
+    phi = r·Y, g = max(ΣX − K, 0), mu = r·X, sigma = σ̄·diag(X) with
+    r = 0.01, σ̄ = 0.25, K = 1.0·D (reference ``1d_BSPDE_case.py:510-560``;
+    strike convention ``1d_BSPDE_case.py:160``).
+    """
+
+    D: int = 1
+    r: float = 0.01
+    sigma_bar: float = 0.25
+    strike: Optional[float] = None  # default 1.0 * D
+    name: str = "CallOption1D"
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def K(self) -> float:
+        return 1.0 * self.D if self.strike is None else self.strike
+
+    @property
+    def x0(self) -> Array:
+        return jnp.ones((self.D,), dtype=jnp.float32)
+
+    def mu(self, t, X, Y, Z):
+        return self.r * X
+
+    def sigma(self, t, X, Y):
+        return self.sigma_bar * X
+
+    def phi(self, t, X, Y, Z):
+        return self.r * Y
+
+    def g(self, X):
+        return jnp.maximum(jnp.sum(X, axis=-1, keepdims=True) - self.K, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class CallOptionND(PDEProblem):
+    """nD call in BSB form: phi = r(Y − ΣXZ), g = max(ΣX − K, 0),
+    mu = r·X, sigma = σ̄·diag(X); r = 0.05, σ̄ = 0.20, K = 1.0·D
+    (reference ``nd_BSPDE_case.py:503-539``).
+    """
+
+    D: int = 100
+    r: float = 0.05
+    sigma_bar: float = 0.20
+    strike: Optional[float] = None
+    name: str = "CallOptionND"
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def K(self) -> float:
+        return 1.0 * self.D if self.strike is None else self.strike
+
+    @property
+    def x0(self) -> Array:
+        return _ones_x0(self.D)
+
+    def mu(self, t, X, Y, Z):
+        return self.r * X
+
+    def sigma(self, t, X, Y):
+        return self.sigma_bar * X
+
+    def phi(self, t, X, Y, Z):
+        return self.r * (Y - jnp.sum(X * Z, axis=-1, keepdims=True))
+
+    def g(self, X):
+        return jnp.maximum(jnp.sum(X, axis=-1, keepdims=True) - self.K, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class BasketCallOption(PDEProblem):
+    """Basket call: phi = r·Y, g = max(mean(X) − K, 0), mu = r·X,
+    sigma = σ̄·diag(X); r = 0.05, σ̄ = 0.20, K = 1.0
+    (reference ``hjb_implement.py:543-586``, ``high_dimension_test.py:603-646``,
+    ``with_corr_high_dimension_pde.py:546-596``).
+
+    Correlated Brownian increments (reference
+    ``with_corr_high_dimension_pde.py:339-341``) are handled by the path
+    engine (``dnnpde_tpu.sim``) via a Cholesky factor, not by the problem.
+    """
+
+    D: int = 100
+    r: float = 0.05
+    sigma_bar: float = 0.20
+    strike: float = 1.0
+    name: str = "BasketCallOption"
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def x0(self) -> Array:
+        return jnp.ones((self.D,), dtype=jnp.float32)
+
+    def mu(self, t, X, Y, Z):
+        return self.r * X
+
+    def sigma(self, t, X, Y):
+        return self.sigma_bar * X
+
+    def phi(self, t, X, Y, Z):
+        return self.r * Y
+
+    def g(self, X):
+        return jnp.maximum(
+            jnp.mean(X, axis=-1, keepdims=True) - self.strike, 0.0
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class BSPDETestCase(PDEProblem):
+    """BSB test case with drift: phi = r(Y − ΣXZ), g = ΣX², mu = r·X,
+    sigma = σ̄·diag(X) (reference ``with_corr_high_dimension_pde.py:599-616``);
+    closed-form u_exact as in BSB (``with_corr_high_dimension_pde.py:1594-1595``).
+    """
+
+    D: int = 100
+    r: float = 0.05
+    sigma_bar: float = 0.20
+    name: str = "BSPDETestCase"
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def x0(self) -> Array:
+        return _ones_x0(self.D)
+
+    def mu(self, t, X, Y, Z):
+        return self.r * X
+
+    def sigma(self, t, X, Y):
+        return self.sigma_bar * X
+
+    def phi(self, t, X, Y, Z):
+        return self.r * (Y - jnp.sum(X * Z, axis=-1, keepdims=True))
+
+    def g(self, X):
+        return jnp.sum(X**2, axis=-1, keepdims=True)
+
+    def exact_solution(self, t, X):
+        return jnp.exp((self.r + self.sigma_bar**2) * (self.T - t)) * jnp.sum(
+            X**2, axis=-1, keepdims=True
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class HamiltonJacobiBellman(PDEProblem):
+    """HJB equation: phi = ‖Z‖², g = log(½ + ½‖X‖²), mu = 0, sigma = √2·I
+    (reference ``hjb_implement.py:590-604``). The exact solution
+    u(t,x) = −log E[exp(−g(x + √(2(T−t))·W))] is a Monte-Carlo oracle
+    (``hjb_implement.py:1088-1096``) provided in ``dnnpde_tpu.numerics``.
+    """
+
+    D: int = 100
+    name: str = "HamiltonJacobiBellman"
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def x0(self) -> Array:
+        return jnp.zeros((self.D,), dtype=jnp.float32)
+
+    def mu(self, t, X, Y, Z):
+        return jnp.zeros_like(X)
+
+    def sigma(self, t, X, Y):
+        return jnp.full_like(X, jnp.sqrt(2.0))
+
+    def phi(self, t, X, Y, Z):
+        return jnp.sum(Z**2, axis=-1, keepdims=True)
+
+    def g(self, X):
+        return jnp.log(0.5 + 0.5 * jnp.sum(X**2, axis=-1, keepdims=True))

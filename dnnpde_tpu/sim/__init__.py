@@ -1,0 +1,28 @@
+"""Path simulation: on-device Brownian generation, correlation, Euler–Maruyama."""
+
+from dnnpde_tpu.sim.brownian import (
+    brownian_increments,
+    brownian_paths,
+    paths_to_increments,
+    time_grid,
+)
+from dnnpde_tpu.sim.correlation import (
+    CORRELATION_TYPES,
+    cholesky_factor,
+    generate_correlation_matrix,
+    make_positive_definite,
+)
+from dnnpde_tpu.sim.euler_maruyama import euler_maruyama, gbm_paths
+
+__all__ = [
+    "brownian_increments",
+    "brownian_paths",
+    "paths_to_increments",
+    "time_grid",
+    "CORRELATION_TYPES",
+    "cholesky_factor",
+    "generate_correlation_matrix",
+    "make_positive_definite",
+    "euler_maruyama",
+    "gbm_paths",
+]

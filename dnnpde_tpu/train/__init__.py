@@ -1,0 +1,33 @@
+"""Training: optimizer factory, schedules, trainer, checkpointing."""
+
+from dnnpde_tpu.train.checkpoint import (
+    restore_checkpoint,
+    restore_checkpoint_orbax,
+    save_checkpoint,
+    save_checkpoint_orbax,
+)
+from dnnpde_tpu.train.optimizers import OPTIMIZER_NAMES, build_optimizer, is_lbfgs
+from dnnpde_tpu.train.schedules import PhaseSpec, TimeStepRefinement, two_phase
+from dnnpde_tpu.train.trainer import (
+    Trainer,
+    TrainingPhases,
+    TrainResult,
+    default_layers,
+)
+
+__all__ = [
+    "OPTIMIZER_NAMES",
+    "build_optimizer",
+    "is_lbfgs",
+    "PhaseSpec",
+    "TimeStepRefinement",
+    "two_phase",
+    "Trainer",
+    "TrainingPhases",
+    "TrainResult",
+    "default_layers",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "save_checkpoint_orbax",
+    "restore_checkpoint_orbax",
+]

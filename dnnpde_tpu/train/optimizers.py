@@ -1,0 +1,75 @@
+"""Optimizer factory: the reference's 9 string-selected optimizers, via optax.
+
+Reference factory: ``FBSNN.train`` (``1d_BSPDE_case.py:338-357``) supports
+Adam, SGD, RMSprop, AdamW, Adadelta, Adagrad, Adamax, ASGD, LBFGS. Gradient
+clipping (global norm 1.0, reference ``clip_grad_norm_`` at
+``1d_BSPDE_case.py:390``) is composed into the chain for all but LBFGS
+(the reference skips clipping on the LBFGS branch, ``:387-388``).
+
+Notes on mappings:
+- ASGD: optax has no averaged-SGD; during *training* torch's ASGD takes plain
+  SGD steps and only maintains a side average (used if you explicitly swap
+  parameters). We map it to SGD and additionally track a Polyak average via
+  ``optax.ema`` so the averaged iterate is available from the optimizer state.
+- LBFGS: ``optax.lbfgs`` with zoom linesearch; it needs the loss closure at
+  update time — the trainer handles that branch (the reference's LBFGS path
+  has a double-backward quirk, ``1d_BSPDE_case.py:385-388``, not replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import optax
+
+OPTIMIZER_NAMES = (
+    "Adam",
+    "SGD",
+    "RMSprop",
+    "AdamW",
+    "Adadelta",
+    "Adagrad",
+    "Adamax",
+    "ASGD",
+    "LBFGS",
+)
+
+
+def is_lbfgs(optimizer_type: str) -> bool:
+    return optimizer_type.lower() == "lbfgs"
+
+
+def build_optimizer(
+    optimizer_type: str,
+    learning_rate: float | Callable[[int], float],
+    clip_norm: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    """Build an optax chain by the reference's optimizer_type string."""
+    key = optimizer_type.lower()
+    if key == "adam":
+        tx = optax.adam(learning_rate)
+    elif key == "sgd":
+        tx = optax.sgd(learning_rate)
+    elif key == "rmsprop":
+        tx = optax.rmsprop(learning_rate)
+    elif key == "adamw":
+        tx = optax.adamw(learning_rate)
+    elif key == "adadelta":
+        tx = optax.adadelta(learning_rate)
+    elif key == "adagrad":
+        tx = optax.adagrad(learning_rate)
+    elif key == "adamax":
+        tx = optax.adamax(learning_rate)
+    elif key == "asgd":
+        tx = optax.chain(optax.sgd(learning_rate), optax.ema(decay=0.999))
+    elif key == "lbfgs":
+        # No clipping for LBFGS (parity with the reference branch).
+        return optax.lbfgs(learning_rate)
+    else:
+        raise ValueError(
+            f"Optimizer type {optimizer_type!r} is not recognized; "
+            f"expected one of {OPTIMIZER_NAMES}"
+        )
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx

@@ -1,0 +1,155 @@
+"""Solver tests: rollout correctness vs a hand-rolled reference loop, loss
+semantics, gradient flow, terminal penalties, Heston 2-factor contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnnpde_tpu.nets import build_network
+from dnnpde_tpu.pde import BlackScholesBarenblatt, CallOption1D, HestonPDE
+from dnnpde_tpu.sim import brownian_paths
+from dnnpde_tpu.solver import SolverConfig, make_loss_fn, make_net_u, make_path_loss_fn
+
+
+def _setup(problem, M=8, N=6, width=16, seed=0):
+    layers = [problem.dim + 1] + [width] * 4 + [1]
+    net = build_network("FC", layers, "Sine")
+    params = net.init(jax.random.PRNGKey(seed), jnp.ones((1, problem.dim + 1)))
+    return net, params
+
+
+def _reference_loop_loss(problem, net, params, t, W, X0):
+    """Direct port of the reference's Python loop semantics
+    (1d_BSPDE_case.py:246-289) used as a golden model for the scan."""
+    net_u = make_net_u(net, problem.clamp_u)
+
+    t0, W0 = t[:, 0, :], W[:, 0, :]
+    Y0, Z0 = net_u(params, t0, X0)
+    loss = 0.0
+    Xs, Ys = [X0], [Y0]
+    N = t.shape[1] - 1
+    for n in range(N):
+        t1, W1 = t[:, n + 1, :], W[:, n + 1, :]
+        dW = W1 - W0
+        sig = problem.sigma(t0, X0, Y0)
+        sdw = problem.sigma_dw(sig, dW)
+        X1 = X0 + problem.mu(t0, X0, Y0, Z0) * (t1 - t0) + sdw
+        Y1_tilde = (
+            Y0
+            + problem.phi(t0, X0, Y0, Z0) * (t1 - t0)
+            + jnp.sum(Z0 * sdw, axis=-1, keepdims=True)
+        )
+        Y1, Z1 = net_u(params, t1, X1)
+        loss = loss + jnp.sum((Y1 - Y1_tilde) ** 2)
+        t0, W0, X0, Y0, Z0 = t1, W1, X1, Y1, Z1
+        Xs.append(X0)
+        Ys.append(Y0)
+    loss = loss + jnp.sum((Y0 - problem.g(X0)) ** 2)
+    dz = Z0 - problem.Dg(X0)
+    if problem.z_penalty_mask is not None:
+        dz = dz * problem.z_penalty_mask
+    loss = loss + jnp.sum(dz**2)
+    return loss, jnp.stack(Xs, 1), jnp.stack(Ys, 1)
+
+
+@pytest.mark.parametrize("problem", [
+    BlackScholesBarenblatt(D=5),
+    CallOption1D(D=1),
+    HestonPDE(),
+])
+def test_scan_matches_reference_loop(problem, rng_key):
+    net, params = _setup(problem)
+    M, N = 8, 6
+    t, W = brownian_paths(rng_key, M, N, problem.noise_dim, problem.T)
+    X0 = jnp.broadcast_to(problem.x0, (M, problem.dim))
+
+    path_loss = make_path_loss_fn(problem, net, SolverConfig(remat=False))
+    res = path_loss(params, t, W, X0)
+    ref_loss, ref_X, ref_Y = _reference_loop_loss(problem, net, params, t, W, X0)
+
+    np.testing.assert_allclose(float(res.loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.X), np.asarray(ref_X), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.Y), np.asarray(ref_Y), rtol=1e-4, atol=1e-5)
+    assert float(res.Y0) == pytest.approx(float(ref_Y[0, 0, 0]), rel=1e-5)
+
+
+def test_remat_matches_no_remat(rng_key):
+    problem = BlackScholesBarenblatt(D=4)
+    net, params = _setup(problem)
+    t, W = brownian_paths(rng_key, 4, 5, problem.dim, problem.T)
+    X0 = jnp.broadcast_to(problem.x0, (4, problem.dim))
+    l1 = make_path_loss_fn(problem, net, SolverConfig(remat=False))(params, t, W, X0)
+    l2 = make_path_loss_fn(problem, net, SolverConfig(remat=True))(params, t, W, X0)
+    np.testing.assert_allclose(float(l1.loss), float(l2.loss), rtol=1e-6)
+    # gradients agree too
+    g1 = jax.grad(lambda p: make_path_loss_fn(problem, net, SolverConfig(remat=False))(p, t, W, X0).loss)(params)
+    g2 = jax.grad(lambda p: make_path_loss_fn(problem, net, SolverConfig(remat=True))(p, t, W, X0).loss)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_net_u_gradient_is_batched_jacobian(rng_key):
+    """Z from the VJP trick must equal per-sample jacfwd of u wrt X."""
+    problem = BlackScholesBarenblatt(D=3)
+    net, params = _setup(problem)
+    net_u = make_net_u(net)
+    t = jnp.full((5, 1), 0.3)
+    X = jax.random.normal(rng_key, (5, 3))
+    u, Z = net_u(params, t, X)
+
+    def u_single(x):
+        inp = jnp.concatenate([jnp.array([0.3]), x])[None, :]
+        return net.apply(params, inp)[0, 0]
+
+    for i in range(5):
+        ji = jax.grad(u_single)(X[i])
+        np.testing.assert_allclose(np.asarray(Z[i]), np.asarray(ji), rtol=1e-4, atol=1e-6)
+
+
+def test_clamped_net_u_zero_gradient_region(rng_key):
+    """With clamp_u=0, Z must vanish where the raw net output is negative
+    (Heston clamp semantics, heston_dnnpde.py:568)."""
+    problem = HestonPDE()
+    net, params = _setup(problem)
+    # shift final bias very negative so u_raw < 0 everywhere
+    flat = jax.tree_util.tree_map(lambda x: x, params)
+    net_u = make_net_u(net, clamp_u=0.0)
+    t = jnp.zeros((4, 1))
+    X = jnp.abs(jax.random.normal(rng_key, (4, 2))) + 0.5
+    # force raw output negative by subtracting a large constant via params:
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    # last bias is the output bias (shape (1,))
+    idx = [i for i, l in enumerate(leaves) if l.shape == (1,)][-1]
+    leaves[idx] = leaves[idx] - 1e3
+    params_neg = jax.tree_util.tree_unflatten(treedef, leaves)
+    u, Z = net_u(params_neg, t, X)
+    assert np.allclose(np.asarray(u), 0.0)
+    assert np.allclose(np.asarray(Z), 0.0)
+
+
+def test_loss_gradient_nonzero(rng_key):
+    problem = CallOption1D()
+    net, params = _setup(problem)
+    t, W = brownian_paths(rng_key, 8, 5, 1, problem.T)
+    X0 = jnp.ones((8, 1))
+    g = jax.grad(lambda p: make_path_loss_fn(problem, net)(p, t, W, X0).loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert total > 0
+
+
+def test_heston_z_mask_applied(rng_key):
+    """Terminal Z-penalty must only see Z_S for Heston (mask [1,0])."""
+    problem = HestonPDE()
+    mask = np.asarray(problem.z_penalty_mask)
+    assert mask.tolist() == [1.0, 0.0]
+
+
+def test_xi_broadcast_single_initial_state(rng_key):
+    problem = BlackScholesBarenblatt(D=3)
+    net, params = _setup(problem)
+    t, W = brownian_paths(rng_key, 6, 4, 3, problem.T)
+    loss_fn = make_path_loss_fn(problem, net)
+    r1 = loss_fn(params, t, W, problem.x0[None, :])  # Xi (1, D) broadcast
+    r2 = loss_fn(params, t, W, jnp.broadcast_to(problem.x0, (6, 3)))
+    np.testing.assert_allclose(float(r1.loss), float(r2.loss), rtol=1e-6)

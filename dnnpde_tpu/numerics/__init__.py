@@ -7,6 +7,43 @@ from dnnpde_tpu.numerics.black_scholes import (
     bsb_exact_solution,
     call_price_grid,
 )
+from dnnpde_tpu.numerics.crank_nicolson import (
+    CNGrid,
+    bilinear_interpolate,
+    cn_delta_gamma,
+    crank_nicolson_heston,
+)
+from dnnpde_tpu.numerics.fft_pricer import (
+    basket_lognormal_cf_params,
+    carr_madan_call,
+    fft_basket_call,
+)
+from dnnpde_tpu.numerics.heston import (
+    HestonParams,
+    heston_call_price,
+    heston_delta_surface,
+    heston_gamma_surface,
+    heston_mc_price,
+    heston_price_surface,
+)
+from dnnpde_tpu.numerics.moments import (
+    basket_moments,
+    match_lognormal,
+    moment_matched_basket_call,
+)
+from dnnpde_tpu.numerics.monte_carlo import (
+    basket_call_mc,
+    basket_delta_mc,
+    basket_price_paths_mc,
+    hjb_exact_mc,
+)
+from dnnpde_tpu.numerics.quadrature import gauss_legendre
+from dnnpde_tpu.numerics.variance_gamma import (
+    VGParams,
+    vg_basket_call,
+    vg_table_2,
+    vg_table_3,
+)
 
 __all__ = [
     "black_scholes_call",
@@ -14,4 +51,29 @@ __all__ = [
     "call_price_grid",
     "basket_analytical_approx",
     "bsb_exact_solution",
+    "CNGrid",
+    "crank_nicolson_heston",
+    "bilinear_interpolate",
+    "cn_delta_gamma",
+    "HestonParams",
+    "heston_call_price",
+    "heston_price_surface",
+    "heston_delta_surface",
+    "heston_gamma_surface",
+    "heston_mc_price",
+    "basket_call_mc",
+    "basket_delta_mc",
+    "basket_price_paths_mc",
+    "hjb_exact_mc",
+    "basket_lognormal_cf_params",
+    "carr_madan_call",
+    "fft_basket_call",
+    "basket_moments",
+    "match_lognormal",
+    "moment_matched_basket_call",
+    "gauss_legendre",
+    "VGParams",
+    "vg_basket_call",
+    "vg_table_2",
+    "vg_table_3",
 ]

@@ -1,0 +1,43 @@
+"""Evaluation & analysis layer (L5): predictions, metrics, stability,
+sensitivity, plots, reports."""
+
+from dnnpde_tpu.evals.metrics import (
+    ConvergenceAnalysis,
+    error_stats,
+    relative_l2_error,
+    squared_errors,
+)
+from dnnpde_tpu.evals.plots import TrainingPlot, figsize
+from dnnpde_tpu.evals.predictions import PredictionGenerator, PredictionResult
+from dnnpde_tpu.evals.reports import RESULT_COLUMNS, ResultsReport
+from dnnpde_tpu.evals.sensitivity import (
+    FastSensitivityAnalysis,
+    SensitivityAnalyzer,
+    hsic_rbf,
+    permutation_importance,
+    sample_hyperparameters,
+    simulate_performance,
+    spearman_rank_correlation,
+)
+from dnnpde_tpu.evals.stability import StabilityCheck
+
+__all__ = [
+    "ConvergenceAnalysis",
+    "error_stats",
+    "relative_l2_error",
+    "squared_errors",
+    "TrainingPlot",
+    "figsize",
+    "PredictionGenerator",
+    "PredictionResult",
+    "RESULT_COLUMNS",
+    "ResultsReport",
+    "FastSensitivityAnalysis",
+    "SensitivityAnalyzer",
+    "hsic_rbf",
+    "permutation_importance",
+    "sample_hyperparameters",
+    "simulate_performance",
+    "spearman_rank_correlation",
+    "StabilityCheck",
+]

@@ -1,0 +1,414 @@
+"""Experiment drivers (L6): grid sweeps producing CSV + PNG artifacts.
+
+Parity with the reference's ``*Executor`` classes (SURVEY.md §2.5):
+- :class:`TrainingExecutor` ↔ ``TrainingExecutor.execute`` nested grid loop
+  over M×D×lr×iters×optimizer×mode×activation with exact-price comparison and
+  stability checks (``with_corr_high_dimension_pde.py:1103-1252``,
+  ``high_dimension_test.py:1095-1249``, ``background_running.py:1176-1320``).
+- :class:`CorrExecutor` ↔ correlation-type sweep with MC-price and analytical
+  basket comparisons + error heatmap (``with_corr_high_dimension_pde.py:1257-1572``).
+- :class:`TestCaseExecutor` ↔ BSB test case with closed-form u_exact +
+  perturbation stability (``with_corr_high_dimension_pde.py:1574-1710``).
+- :class:`HJBExecutor` ↔ HJB M×D sweep against the MC oracle
+  (``hjb_implement.py:1042-1119``).
+- :class:`HestonExecutor` ↔ Heston batch-size sweep, L2(Y0) vs closed form
+  (``heston_dnnpde.py:1123-1277``).
+- :class:`SensitivityExecutor` ↔ real training samples + synthetic
+  augmentation → HSIC analysis (``sensitivity_analysis_trun.py:1100-1217``).
+
+Unlike the reference (constants buried in ``__main__`` blocks, output paths
+hard-coded to the author's OneDrive), every executor takes an explicit config
+dataclass and an output directory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from dnnpde_tpu.evals import (
+    PredictionGenerator,
+    ResultsReport,
+    StabilityCheck,
+    TrainingPlot,
+    error_stats,
+    SensitivityAnalyzer,
+    sample_hyperparameters,
+    simulate_performance,
+)
+from dnnpde_tpu.evals.reports import RESULT_COLUMNS
+from dnnpde_tpu.numerics import (
+    basket_analytical_approx,
+    basket_call_mc,
+    bsb_exact_solution,
+    heston_call_price,
+    HestonParams,
+    hjb_exact_mc,
+)
+from dnnpde_tpu.pde import (
+    BasketCallOption,
+    BSPDETestCase,
+    HamiltonJacobiBellman,
+    HestonPDE,
+)
+from dnnpde_tpu.sim import cholesky_factor
+from dnnpde_tpu.train import Trainer, default_layers
+
+
+@dataclasses.dataclass
+class SweepConfig:
+    """Grid axes (reference ``__main__`` constants,
+    ``with_corr_high_dimension_pde.py:1714-1755``)."""
+
+    Ms: Sequence[int] = (100,)
+    Ds: Sequence[int] = (100,)
+    N: int = 50
+    lr_pairs: Sequence[tuple[float, float]] = ((1e-3, 1e-5),)
+    iter_pairs: Sequence[tuple[int, int]] = ((2000, 500),)
+    optimizers: Sequence[str] = ("Adam",)
+    modes: Sequence[str] = ("Naisnet",)
+    activations: Sequence[str] = ("Sine", "ReLU")
+    hidden: Sequence[int] = (256, 256, 256, 256)
+    seed: int = 42
+
+
+def _train_two_phase(trainer, lr_pair, iter_pair, optimizer):
+    r1 = trainer.train(iter_pair[0], lr_pair[0], optimizer, verbose=False)
+    r2 = trainer.train(iter_pair[1], lr_pair[1], optimizer, verbose=False)
+    return r1, r2
+
+
+class TrainingExecutor:
+    """Basket-call grid sweep → results.csv + plots."""
+
+    def __init__(self, config: SweepConfig, save_path: str, problem_cls=BasketCallOption):
+        self.config = config
+        self.save_path = save_path
+        self.problem_cls = problem_cls
+        self.report = ResultsReport(columns=RESULT_COLUMNS)
+        self.plot = TrainingPlot(save_path)
+
+    def execute(self) -> "ResultsReport":
+        c = self.config
+        for M, D, lr, iters, opt, mode, act in itertools.product(
+            c.Ms, c.Ds, c.lr_pairs, c.iter_pairs, c.optimizers, c.modes, c.activations
+        ):
+            tic = time.time()
+            problem = self.problem_cls(D=D)
+            trainer = Trainer(
+                problem, M=M, N=c.N,
+                layers=[D + 1, *c.hidden, 1], mode=mode, activation=act, seed=c.seed,
+            )
+            r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+            preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
+
+            exact_price, _ = basket_call_mc(
+                jax.random.PRNGKey(c.seed), np.ones(D), problem.strike,
+                problem.T, problem.r, problem.sigma_bar, num_paths=200_000,
+            )
+            learned_price = float(preds.Y_pred[:, 0, 0].mean())
+            stats = error_stats(preds.Y_pred[:, 0, 0], float(exact_price))
+            radii = StabilityCheck(trainer, num_points=32).evaluate_stability()
+
+            self.plot.plot_training_loss(
+                np.concatenate([r1.graph, r2.graph], axis=1), mode, act, opt
+            )
+            self.plot.plot_prediction(preds.t_test, preds.Y_pred, mode, act, opt)
+            self.report.add_row(**{
+                "Batch Size": M, "Dimensions": D,
+                "Initial LR": lr[0], "Fine Tuning LR": lr[1],
+                "Initial Iters": iters[0], "Fine Tuning Iters": iters[1],
+                "Optimizer": opt, "Mode": mode, "Activation": act,
+                "Correlation": "no_correlation",
+                **{"Mean Error": stats["mean_error"],
+                   "Std Error": stats["std_error"], "RMSE": stats["rmse"]},
+                "Min Loss": min(r1.min_loss, r2.min_loss),
+                "Exact Price": float(exact_price), "Learned Price": learned_price,
+                "Mean Spectral Radius": float(np.mean(radii)),
+                "Total Run Time": time.time() - tic,
+            })
+        self.report.to_csv(f"{self.save_path}/results.csv")
+        return self.report
+
+
+class CorrExecutor:
+    """Correlated-basket sweep: NN vs MC vs analytical approximation
+    (reference ``CorrExecutor``, ``with_corr_high_dimension_pde.py:1257-1572``)."""
+
+    def __init__(
+        self,
+        config: SweepConfig,
+        save_path: str,
+        correlation_types: Sequence[str] = (
+            "no_correlation", "random_correlation", "restricted_random_correlation",
+        ),
+    ):
+        self.config = config
+        self.save_path = save_path
+        self.correlation_types = correlation_types
+        self.report = ResultsReport(columns=RESULT_COLUMNS)
+        self.plot = TrainingPlot(save_path)
+
+    def execute(self) -> "ResultsReport":
+        c = self.config
+        heat = np.zeros((len(self.correlation_types), len(c.Ds)))
+        for (ci, corr_type), (di, D) in itertools.product(
+            enumerate(self.correlation_types), enumerate(c.Ds)
+        ):
+            for M, lr, iters, opt, mode, act in itertools.product(
+                c.Ms, c.lr_pairs, c.iter_pairs, c.optimizers, c.modes, c.activations
+            ):
+                tic = time.time()
+                problem = BasketCallOption(D=D)
+                trainer = Trainer(
+                    problem, M=M, N=c.N, layers=[D + 1, *c.hidden, 1],
+                    mode=mode, activation=act, seed=c.seed,
+                    correlation_type=corr_type, correlation_seed=c.seed,
+                )
+                r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+                preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
+
+                chol = trainer.chol
+                mc_price, mc_se = basket_call_mc(
+                    jax.random.PRNGKey(c.seed), np.ones(D), problem.strike,
+                    problem.T, problem.r, problem.sigma_bar,
+                    chol=chol, num_paths=200_000,
+                )
+                analytical = float(basket_analytical_approx(
+                    np.ones(D), problem.strike, problem.T, problem.r,
+                    problem.sigma_bar, D,
+                ))
+                learned = float(preds.Y_pred[:, 0, 0].mean())
+                stats = error_stats(preds.Y_pred[:, 0, 0], float(mc_price))
+                heat[ci, di] = abs(learned - float(mc_price))
+
+                self.report.add_row(**{
+                    "Batch Size": M, "Dimensions": D,
+                    "Initial LR": lr[0], "Fine Tuning LR": lr[1],
+                    "Initial Iters": iters[0], "Fine Tuning Iters": iters[1],
+                    "Optimizer": opt, "Mode": mode, "Activation": act,
+                    "Correlation": corr_type,
+                    "Mean Error": stats["mean_error"],
+                    "Std Error": stats["std_error"], "RMSE": stats["rmse"],
+                    "Min Loss": min(r1.min_loss, r2.min_loss),
+                    "Exact Price": float(mc_price), "Learned Price": learned,
+                    "Analytical Price": analytical,
+                    "MC Standard Error": float(mc_se),
+                    "Total Run Time": time.time() - tic,
+                })
+        self.plot.plot_error_heatmap(
+            heat, list(self.correlation_types), [str(d) for d in c.Ds],
+            name="CorrErrorHeatmap",
+        )
+        self.report.to_csv(f"{self.save_path}/results_corr.csv")
+        return self.report
+
+
+class TestCaseExecutor:
+    """BSB test case vs closed-form u_exact + perturbation stability
+    (reference ``TestCaseExecutor``, ``with_corr_high_dimension_pde.py:1574-1710``)."""
+
+    __test__ = False  # not a pytest class despite the name
+
+    def __init__(self, config: SweepConfig, save_path: str):
+        self.config = config
+        self.save_path = save_path
+        self.plot = TrainingPlot(save_path)
+        self.report = ResultsReport()
+
+    def execute(self) -> "ResultsReport":
+        c = self.config
+        for M, D, lr, iters, opt, mode, act in itertools.product(
+            c.Ms, c.Ds, c.lr_pairs, c.iter_pairs, c.optimizers, c.modes, c.activations
+        ):
+            tic = time.time()
+            problem = BSPDETestCase(D=D)
+            trainer = Trainer(
+                problem, M=M, N=c.N, layers=[D + 1, *c.hidden, 1],
+                mode=mode, activation=act, seed=c.seed,
+            )
+            r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+            preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
+            Y_exact = np.asarray(bsb_exact_solution(
+                preds.t_test, preds.X_pred, T=problem.T,
+                r=problem.r, sigma_bar=problem.sigma_bar,
+            ))
+            stats = error_stats(preds.Y_pred, Y_exact)
+            stab = StabilityCheck(trainer, perturbation_range=[0.0, 0.1, 0.3])
+            rel_errors = stab.run_perturbation_analysis()
+            self.plot.plot_exact_vs_learned(
+                preds.t_test, preds.Y_pred, Y_exact[:, :, 0], mode, act, opt
+            )
+            self.report.add_row(
+                M=M, D=D, mode=mode, activation=act, optimizer=opt,
+                **stats,
+                perturbation_errors=rel_errors,
+                exact_y0=float(Y_exact[0, 0, 0]),
+                learned_y0=float(preds.Y_pred[:, 0, 0].mean()),
+                run_time=time.time() - tic,
+            )
+        self.report.to_csv(f"{self.save_path}/results_testcase.csv")
+        return self.report
+
+
+class HJBExecutor:
+    """HJB sweep vs the MC oracle (reference ``HJBExecutor``,
+    ``hjb_implement.py:1042-1119``: M=16, D∈{10,50,100}, Naisnet-ReLU)."""
+
+    def __init__(self, config: SweepConfig, save_path: str):
+        self.config = config
+        self.save_path = save_path
+        self.report = ResultsReport()
+        self.plot = TrainingPlot(save_path)
+
+    def execute(self) -> "ResultsReport":
+        c = self.config
+        for M, D, lr, iters, opt, mode, act in itertools.product(
+            c.Ms, c.Ds, c.lr_pairs, c.iter_pairs, c.optimizers, c.modes, c.activations
+        ):
+            tic = time.time()
+            problem = HamiltonJacobiBellman(D=D)
+            trainer = Trainer(
+                problem, M=M, N=c.N, layers=[D + 1, *c.hidden, 1],
+                mode=mode, activation=act, seed=c.seed,
+            )
+            r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+            u_exact = float(hjb_exact_mc(
+                jax.random.PRNGKey(c.seed), 0.0, np.zeros(D), T=problem.T,
+            ))
+            learned = trainer.y0_log[-1]
+            rel_err = abs(learned - u_exact) / abs(u_exact)
+            self.report.add_row(
+                M=M, D=D, mode=mode, activation=act, optimizer=opt,
+                exact_u0=u_exact, learned_u0=learned, relative_error=rel_err,
+                min_loss=min(r1.min_loss, r2.min_loss),
+                run_time=time.time() - tic,
+            )
+        self.report.to_csv(f"{self.save_path}/results_hjb.csv")
+        return self.report
+
+
+class HestonExecutor:
+    """Heston batch-size sweep: L2(Y0) vs the closed form (reference
+    ``HestonExecutor``, ``heston_dnnpde.py:1123-1277``: Ms=[2,10,50,128,500])."""
+
+    def __init__(
+        self,
+        Ms: Sequence[int] = (2, 10, 50, 128, 500),
+        N: int = 50,
+        n_iter: tuple[int, int] = (2000, 500),
+        lrs: tuple[float, float] = (1e-3, 1e-5),
+        mode: str = "FC",
+        activation: str = "Sine",
+        save_path: str = ".",
+        seed: int = 42,
+        heston: Optional[HestonPDE] = None,
+    ):
+        self.Ms = Ms
+        self.N = N
+        self.n_iter = n_iter
+        self.lrs = lrs
+        self.mode = mode
+        self.activation = activation
+        self.save_path = save_path
+        self.seed = seed
+        self.problem = heston or HestonPDE()
+        self.report = ResultsReport()
+        self.plot = TrainingPlot(save_path)
+
+    def execute(self) -> "ResultsReport":
+        p = self.problem
+        exact = float(heston_call_price(
+            p.S0, p.v0,
+            HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa,
+                         theta=p.theta, sigma=p.sigma_v, rho=p.rho, v0=p.v0),
+        ))
+        for M in self.Ms:
+            tic = time.time()
+            trainer = Trainer(
+                p, M=M, N=self.N, layers=default_layers(p.dim),
+                mode=self.mode, activation=self.activation, seed=self.seed,
+            )
+            r1, r2 = _train_two_phase(
+                trainer, self.lrs, self.n_iter, "Adam"
+            )
+            y0s = np.asarray(trainer.y0_log)
+            l2_errors = np.abs(y0s - exact)
+            self.plot.plot_y0_evolution(
+                trainer.iteration, y0s, exact_y0=exact, name=f"HestonY0_M{M}"
+            )
+            self.report.add_row(
+                M=M, exact_y0=exact, learned_y0=float(y0s[-1]),
+                final_l2_error=float(l2_errors[-1]),
+                min_loss=min(r1.min_loss, r2.min_loss),
+                run_time=time.time() - tic,
+            )
+        self.report.to_csv(f"{self.save_path}/results_heston.csv")
+        return self.report
+
+
+class SensitivityExecutor:
+    """Real training samples + synthetic augmentation → HSIC analysis
+    (reference ``SensitivityExecutor``, ``sensitivity_analysis_trun.py:1100-1217``).
+    The reference fans real runs over ``ProcessPoolExecutor``; here each run
+    is a fully-jitted training loop, so sequential dispatch is already
+    device-bound and no host-process pool is needed."""
+
+    def __init__(
+        self,
+        problem,
+        M: int = 32,
+        N: int = 16,
+        mode: str = "FC",
+        activation: str = "Sine",
+        optimizer: str = "Adam",
+        save_path: str = ".",
+        seed: int = 0,
+        iter_scale: float = 1.0,
+    ):
+        self.problem = problem
+        self.M = M
+        self.N = N
+        self.mode = mode
+        self.activation = activation
+        self.optimizer = optimizer
+        self.save_path = save_path
+        self.seed = seed
+        self.iter_scale = iter_scale
+        self.analyzer = SensitivityAnalyzer()
+
+    def evaluate_model(self, hp: dict) -> float:
+        """One real sample: two-phase training, returns min loss
+        (reference ``evaluate_model``, ``sensitivity_analysis_trun.py:1196-1217``)."""
+        trainer = Trainer(
+            self.problem, M=self.M, N=self.N,
+            layers=default_layers(self.problem.dim, width=64),
+            mode=self.mode, activation=self.activation, seed=self.seed,
+        )
+        n1 = max(1, int(hp["initial_n_iter"] * self.iter_scale))
+        n2 = max(1, int(hp["fine_tuning_n_iter"] * self.iter_scale))
+        r1 = trainer.train(n1, hp["initial_lr"], self.optimizer, verbose=False)
+        r2 = trainer.train(n2, hp["fine_tuning_lr"], self.optimizer, verbose=False)
+        return min(r1.min_loss, r2.min_loss)
+
+    def execute(
+        self, num_real_samples: int = 5, num_simulated_samples: int = 995
+    ) -> dict[str, float]:
+        rng = np.random.default_rng(self.seed)
+        results = []
+        for _ in range(num_real_samples):
+            hp = sample_hyperparameters(rng)
+            results.append({"hyperparams": hp, "performance": self.evaluate_model(hp)})
+        for _ in range(num_simulated_samples):
+            hp = sample_hyperparameters(rng)
+            perf = float(simulate_performance(
+                {k: np.asarray(v) for k, v in hp.items()}, rng
+            ))
+            results.append({"hyperparams": hp, "performance": perf})
+        scores, _, _ = self.analyzer.analyze(results)
+        return scores

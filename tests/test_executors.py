@@ -1,0 +1,84 @@
+"""Executor smoke tests: tiny configs end-to-end, artifact existence."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dnnpde_tpu.experiments import (
+    CorrExecutor,
+    HestonExecutor,
+    HJBExecutor,
+    SensitivityExecutor,
+    SweepConfig,
+    TestCaseExecutor,
+    TrainingExecutor,
+)
+from dnnpde_tpu.pde import CallOption1D
+
+TINY = dict(
+    Ms=(8,), Ds=(3,), N=4,
+    lr_pairs=((1e-3, 1e-4),), iter_pairs=((6, 2),),
+    optimizers=("Adam",), modes=("FC",), activations=("Sine",),
+    hidden=(16, 16, 16, 16),
+)
+
+
+def test_training_executor(tmp_path):
+    rep = TrainingExecutor(SweepConfig(**TINY), str(tmp_path)).execute()
+    df = pd.read_csv(tmp_path / "results.csv")
+    assert len(df) == 1
+    for col in ("RMSE", "Min Loss", "Exact Price", "Learned Price",
+                "Mean Spectral Radius", "Total Run Time"):
+        assert np.isfinite(df.loc[0, col]), col
+    assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+def test_corr_executor(tmp_path):
+    rep = CorrExecutor(
+        SweepConfig(**TINY), str(tmp_path),
+        correlation_types=("no_correlation", "random_correlation"),
+    ).execute()
+    df = pd.read_csv(tmp_path / "results_corr.csv")
+    assert len(df) == 2
+    assert set(df["Correlation"]) == {"no_correlation", "random_correlation"}
+    assert np.isfinite(df["MC Standard Error"]).all()
+    assert os.path.exists(tmp_path / "CorrErrorHeatmap.png")
+
+
+def test_testcase_executor(tmp_path):
+    rep = TestCaseExecutor(SweepConfig(**TINY), str(tmp_path)).execute()
+    df = pd.read_csv(tmp_path / "results_testcase.csv")
+    assert len(df) == 1
+    assert np.isfinite(df.loc[0, "rmse"])
+    assert df.loc[0, "exact_y0"] > 0
+
+
+def test_hjb_executor(tmp_path):
+    cfg = SweepConfig(**{**TINY, "Ds": (5,)})
+    rep = HJBExecutor(cfg, str(tmp_path)).execute()
+    df = pd.read_csv(tmp_path / "results_hjb.csv")
+    assert len(df) == 1
+    assert np.isfinite(df.loc[0, "relative_error"])
+    assert df.loc[0, "exact_u0"] > 0  # MC oracle of log(1/2 + |X|^2/2) at X~N
+
+
+def test_heston_executor(tmp_path):
+    rep = HestonExecutor(
+        Ms=(4,), N=4, n_iter=(6, 2), save_path=str(tmp_path), mode="FC",
+    ).execute()
+    df = pd.read_csv(tmp_path / "results_heston.csv")
+    assert len(df) == 1
+    assert df.loc[0, "exact_y0"] == pytest.approx(0.1984, abs=2e-3)
+    assert np.isfinite(df.loc[0, "final_l2_error"])
+
+
+def test_sensitivity_executor():
+    scores = SensitivityExecutor(
+        CallOption1D(D=1), M=4, N=3, iter_scale=2e-4,  # ~2-5 real iters
+    ).execute(num_real_samples=2, num_simulated_samples=100)
+    assert set(scores) == {
+        "initial_lr", "fine_tuning_lr", "initial_n_iter", "fine_tuning_n_iter",
+    }
+    assert all(np.isfinite(v) for v in scores.values())

@@ -1,5 +1,11 @@
 """Training: optimizer factory, schedules, trainer, checkpointing."""
 
+from dnnpde_tpu.train.diagnostics import (
+    StepTimer,
+    detect_anomalies,
+    device_memory_stats,
+    profile_trace,
+)
 from dnnpde_tpu.train.checkpoint import (
     restore_checkpoint,
     restore_checkpoint_orbax,
@@ -30,4 +36,8 @@ __all__ = [
     "restore_checkpoint",
     "save_checkpoint_orbax",
     "restore_checkpoint_orbax",
+    "StepTimer",
+    "detect_anomalies",
+    "device_memory_stats",
+    "profile_trace",
 ]

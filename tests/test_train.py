@@ -1,0 +1,180 @@
+"""Training-layer tests: optimizer factory, schedules, refinement bucketing,
+LBFGS, NaN guard, checkpointing, SDENet training, diagnostics."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dnnpde_tpu.pde import BlackScholesBarenblatt, CallOption1D
+from dnnpde_tpu.solver import SolverConfig
+from dnnpde_tpu.train import (
+    OPTIMIZER_NAMES,
+    StepTimer,
+    TimeStepRefinement,
+    Trainer,
+    build_optimizer,
+    detect_anomalies,
+    two_phase,
+)
+
+
+# ------------------------------------------------------------- optimizers
+@pytest.mark.parametrize("name", OPTIMIZER_NAMES)
+def test_optimizer_factory_builds_and_steps(name):
+    tx = build_optimizer(name, 1e-3)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    if name == "LBFGS":
+        value_fn = lambda p: jnp.sum(p["w"] ** 2) + jnp.sum(p["b"] ** 2)
+        updates, state = tx.update(
+            grads, state, params, value=value_fn(params), grad=grads, value_fn=value_fn
+        )
+    else:
+        updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    # first Adadelta step is ~lr·√eps — tiny but nonzero
+    assert float(np.abs(np.asarray(new["w"]) - np.asarray(params["w"])).max()) > 0
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(ValueError):
+        build_optimizer("Yogi", 1e-3)
+
+
+def test_gradient_clipping_in_chain():
+    tx = build_optimizer("SGD", 1.0, clip_norm=1.0)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    big = {"w": jnp.full(3, 100.0)}
+    updates, _ = tx.update(big, state, params)
+    assert np.linalg.norm(np.asarray(updates["w"])) <= 1.0 + 1e-5
+
+
+# -------------------------------------------------------------- schedules
+def test_refinement_formula_matches_reference():
+    """N = ceil(Mm^(it//4000 + 1)) for 4000 <= it < 20000, else ceil(Mm)
+    (1d_BSPDE_case.py:371-375)."""
+    Mm = 50 ** (1 / 5)
+    ref = TimeStepRefinement(Mm=Mm)
+    assert ref.n_at(0) == math.ceil(Mm)
+    assert ref.n_at(3999) == math.ceil(Mm)
+    assert ref.n_at(4000) == math.ceil(Mm**2)
+    assert ref.n_at(8000) == math.ceil(Mm**3)
+    # ceil((50^(1/5))^5) = ceil(50.00000000000001) = 51 — float round-trip,
+    # identical in the reference's own formula
+    assert ref.n_at(16000) == math.ceil(Mm**5) == 51
+    assert ref.n_at(20000) == math.ceil(Mm)
+
+
+def test_refinement_buckets_contiguous():
+    ref = TimeStepRefinement(Mm=2.0)
+    buckets = list(ref.buckets(3900, 300))
+    # [3900, 4000) at N=2, [4000, 4200) at N=4
+    assert buckets == [(3900, 100, 2), (4000, 200, 4)]
+
+
+def test_two_phase_spec():
+    p1, p2 = two_phase()
+    assert (p1.n_iter, p1.learning_rate) == (2000, 1e-3)
+    assert (p2.n_iter, p2.learning_rate) == (500, 1e-5)
+
+
+def test_trainer_applies_refinement():
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=32, layers=[4, 16, 16, 16, 16, 1], Mm=2.0, seed=0)
+    res = tr.train(4, 1e-3, log_every=2, verbose=False)
+    # below it=4000 the schedule forces N=ceil(Mm)=2
+    assert np.isfinite(res.graph[1]).all()
+
+
+# ------------------------------------------------------------------ LBFGS
+def test_lbfgs_training_reduces_loss():
+    prob = CallOption1D(D=1)
+    tr = Trainer(prob, M=16, N=4, layers=[2, 16, 16, 16, 16, 1], seed=0)
+    res = tr.train(10, 1.0, "LBFGS", log_every=5, verbose=False)
+    assert np.isfinite(res.graph[1]).all()
+    assert res.graph[1][-1] < res.graph[1][0]
+
+
+# -------------------------------------------------------------- NaN guard
+def test_nan_guard_keeps_params_finite():
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(
+        prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0, nan_guard=True
+    )
+    # absurd LR would normally blow up; guard must keep params finite
+    tr.train(20, 1e6, log_every=10, verbose=False)
+    for leaf in jax.tree_util.tree_leaves(tr.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+# ------------------------------------------------------------ checkpoints
+def test_checkpoint_roundtrip_with_optimizer_state(tmp_path):
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    tr.train(6, 1e-3, log_every=3, verbose=False)
+    f = str(tmp_path / "ckpt.bin")
+    tr.save_model(f)
+
+    tr2 = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=99)
+    tr2.train(2, 1e-3, log_every=2, verbose=False)  # materialize opt state
+    tr2.load_model(f)
+    assert tr2.iteration == tr.iteration
+    assert tr2.training_loss == tr.training_loss
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.params), jax.tree_util.tree_leaves(tr2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resuming continues the iteration counter (reference train():333-335)
+    tr2.train(2, 1e-3, log_every=2, verbose=False)
+    assert tr2.iteration[-1] >= tr.iteration[-1]
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from dnnpde_tpu.train import restore_checkpoint_orbax, save_checkpoint_orbax
+
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(3)}
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, state)
+    restored = restore_checkpoint_orbax(path, state)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+
+
+# ----------------------------------------------------------------- sdenet
+def test_sdenet_training_runs():
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(
+        prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], mode="SDEnet", seed=0
+    )
+    assert tr.config.stochastic_net
+    res = tr.train(6, 1e-3, log_every=3, verbose=False)
+    assert np.isfinite(res.graph[1]).all()
+
+
+# ------------------------------------------------------------ diagnostics
+def test_detect_anomalies_raises_on_nan():
+    with pytest.raises(FloatingPointError):
+        with detect_anomalies():
+            jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.lap()
+    t.lap()
+    assert len(t.laps) == 2
+    assert t.cumulative[-1] >= t.cumulative[0]
+
+
+def test_auto_remat_policy():
+    prob = BlackScholesBarenblatt(D=3)
+    small = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1])
+    assert not small.config.remat  # tiny footprint → no remat
+    big = Trainer(prob, M=4096, N=512, layers=[4, 512, 512, 512, 512, 1])
+    assert big.config.remat

@@ -1,0 +1,85 @@
+"""Tolerance-gated end-to-end convergence tests against the classical oracles
+— the reference's oracle-comparison methodology (SURVEY.md §4) as an
+automated test pyramid. Budgets are sized for the CPU test backend;
+tolerances carry slack over the measured errors (1D call 4.0%, BSB-5D 1.4%,
+HJB-10D 3.6% at these budgets) to absorb seed-level variance.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dnnpde_tpu.numerics import (
+    HestonParams,
+    black_scholes_call,
+    bsb_exact_solution,
+    heston_call_price,
+    hjb_exact_mc,
+)
+from dnnpde_tpu.pde import (
+    BlackScholesBarenblatt,
+    CallOption1D,
+    HamiltonJacobiBellman,
+    HestonPDE,
+)
+from dnnpde_tpu.train import Trainer
+
+pytestmark = pytest.mark.slow
+
+
+def test_1d_call_converges_to_black_scholes():
+    p = CallOption1D(D=1)
+    tr = Trainer(p, M=64, N=10, layers=[2, 32, 32, 32, 32, 1], seed=0)
+    tr.train(1500, 1e-3, log_every=500, verbose=False)
+    tr.train(300, 1e-4, log_every=300, verbose=False)
+    bs = float(black_scholes_call(1.0, p.K, p.T, p.r, p.sigma_bar))
+    rel = abs(tr.y0_log[-1] - bs) / bs
+    assert rel < 0.08, f"1D call rel err {rel:.3f} vs BS {bs:.4f}"
+
+
+def test_bsb_5d_converges_to_closed_form():
+    p = BlackScholesBarenblatt(D=5)
+    tr = Trainer(p, M=64, N=10, layers=[6, 32, 32, 32, 32, 1], seed=0)
+    tr.train(1500, 1e-3, log_every=500, verbose=False)
+    u0 = float(bsb_exact_solution(0.0, np.asarray(p.x0)[None, :], T=p.T)[0, 0])
+    rel = abs(tr.y0_log[-1] - u0) / u0
+    assert rel < 0.05, f"BSB rel err {rel:.3f} vs exact {u0:.4f}"
+
+
+def test_hjb_10d_converges_to_mc_oracle():
+    p = HamiltonJacobiBellman(D=10)
+    tr = Trainer(p, M=64, N=10, layers=[11, 32, 32, 32, 32, 1], seed=0)
+    tr.train(1500, 1e-3, log_every=500, verbose=False)
+    exact = float(hjb_exact_mc(jax.random.PRNGKey(0), 0.0, np.zeros(10)))
+    rel = abs(tr.y0_log[-1] - exact) / abs(exact)
+    assert rel < 0.08, f"HJB rel err {rel:.3f} vs MC {exact:.4f}"
+
+
+def test_heston_y0_approaches_closed_form():
+    p = HestonPDE()
+    tr = Trainer(p, M=64, N=10, layers=[3, 32, 32, 32, 32, 1], seed=0)
+    tr.train(1500, 1e-3, log_every=500, verbose=False)
+    exact = float(
+        heston_call_price(
+            p.S0, p.v0,
+            HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa,
+                         theta=p.theta, sigma=p.sigma_v, rho=p.rho, v0=p.v0),
+        )
+    )
+    err_first = abs(tr.y0_log[0] - exact)
+    err_last = abs(tr.y0_log[-1] - exact)
+    # 2-factor Heston needs larger budgets for tight error; gate on approach
+    assert err_last < err_first, (tr.y0_log[0], tr.y0_log[-1], exact)
+    assert err_last < 0.12, f"|Y0−exact| = {err_last:.4f} (exact {exact:.4f})"
+
+
+def test_naisnet_bsb_converges():
+    """The NAIS-Net architecture (the reference's headline net) must also
+    train through the scan rollout."""
+    p = BlackScholesBarenblatt(D=5)
+    tr = Trainer(p, M=64, N=10, layers=[6, 32, 32, 32, 32, 1],
+                 mode="Naisnet", activation="Sine", seed=0)
+    tr.train(1000, 1e-3, log_every=500, verbose=False)
+    u0 = float(bsb_exact_solution(0.0, np.asarray(p.x0)[None, :], T=p.T)[0, 0])
+    rel = abs(tr.y0_log[-1] - u0) / u0
+    assert rel < 0.10, f"NAIS-Net BSB rel err {rel:.3f}"

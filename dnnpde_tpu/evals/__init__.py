@@ -1,6 +1,11 @@
 """Evaluation & analysis layer (L5): predictions, metrics, stability,
 sensitivity, plots, reports."""
 
+from dnnpde_tpu.evals.correlation_analysis import (
+    RandomCorrelationSensitivityAnalysis,
+    equicorrelation_sensitivity,
+)
+from dnnpde_tpu.evals.greeks import compute_greeks, heston_greeks
 from dnnpde_tpu.evals.metrics import (
     ConvergenceAnalysis,
     error_stats,
@@ -40,4 +45,8 @@ __all__ = [
     "simulate_performance",
     "spearman_rank_correlation",
     "StabilityCheck",
+    "RandomCorrelationSensitivityAnalysis",
+    "equicorrelation_sensitivity",
+    "compute_greeks",
+    "heston_greeks",
 ]

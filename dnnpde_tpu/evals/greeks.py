@@ -1,0 +1,59 @@
+"""Greeks of the learned solution via autodiff.
+
+Parity with the reference's Heston ``calculate_greeks``
+(``heston_dnnpde.py:685-699``): delta = ∂u/∂S from the first-order input
+gradient, gamma = ∂²u/∂S² by a second differentiation. Generalized to any
+problem: delta is the full ∇ₓu (the solver's Z process) and gamma is the
+diagonal of the input Hessian, computed as one forward-over-reverse
+``jacfwd(grad)`` — no per-point Python loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def compute_greeks(trainer, t, X) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(u, delta, gamma_diag) at batched (t, X).
+
+    u: (M, 1); delta = ∇ₓu: (M, D); gamma_diag = diag(∂²u/∂X²): (M, D).
+    """
+    params = trainer.params
+    net = trainer.net
+    clamp = trainer.problem.clamp_u
+    t = jnp.asarray(t, jnp.float32).reshape(-1, 1)
+    X = jnp.asarray(X, jnp.float32).reshape(-1, trainer.problem.dim)
+
+    def u_single(x, ti):
+        u = net.apply(params, jnp.concatenate([ti, x])[None, :])[0, 0]
+        if clamp is not None:
+            u = jnp.maximum(u, clamp)
+        return u
+
+    def per_sample(x, ti):
+        u = u_single(x, ti)
+        delta = jax.grad(u_single)(x, ti)
+        gamma = jnp.diagonal(jax.jacfwd(jax.grad(u_single))(x, ti))
+        return u, delta, gamma
+
+    u, delta, gamma = jax.vmap(per_sample)(X, t)
+    return (
+        np.asarray(u)[:, None],
+        np.asarray(delta),
+        np.asarray(gamma),
+    )
+
+
+def heston_greeks(trainer, S, v, t) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Heston-layout wrapper: (price, delta=∂u/∂S, gamma=∂²u/∂S²) over
+    batched (S, v) at time t (reference ``calculate_greeks`` signature)."""
+    S = np.atleast_1d(np.asarray(S, np.float32))
+    v = np.atleast_1d(np.asarray(v, np.float32))
+    X = np.stack([S, v], axis=-1)
+    tcol = np.full((S.shape[0], 1), t, np.float32)
+    u, delta, gamma = compute_greeks(trainer, tcol, X)
+    return u[:, 0], delta[:, 0], gamma[:, 0]

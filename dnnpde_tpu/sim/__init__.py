@@ -13,6 +13,12 @@ from dnnpde_tpu.sim.correlation import (
     make_positive_definite,
 )
 from dnnpde_tpu.sim.euler_maruyama import euler_maruyama, gbm_paths
+from dnnpde_tpu.sim.mlmc import (
+    MLMCConfig,
+    coupled_brownian_increments,
+    mlmc_gbm_price,
+    mlmc_minibatch,
+)
 
 __all__ = [
     "brownian_increments",
@@ -25,4 +31,8 @@ __all__ = [
     "make_positive_definite",
     "euler_maruyama",
     "gbm_paths",
+    "MLMCConfig",
+    "coupled_brownian_increments",
+    "mlmc_gbm_price",
+    "mlmc_minibatch",
 ]

@@ -1,5 +1,11 @@
 """Mesh + sharding: data-parallel path axis over TPU chips."""
 
+from dnnpde_tpu.parallel.model_sharding import (
+    TP_AXIS,
+    make_mesh_2d,
+    shard_params_tp,
+    tp_sharding_summary,
+)
 from dnnpde_tpu.parallel.mesh import (
     DP_AXIS,
     batch_sharding,
@@ -14,4 +20,8 @@ __all__ = [
     "check_divisible",
     "make_mesh",
     "replicated",
+    "TP_AXIS",
+    "make_mesh_2d",
+    "shard_params_tp",
+    "tp_sharding_summary",
 ]

@@ -173,7 +173,15 @@ class Trainer:
         if mesh is not None:
             self._replicate = NamedSharding(mesh, P())
             self._shard_batch = NamedSharding(mesh, P("dp"))
-            self.params = jax.device_put(self.params, self._replicate)
+            if "tp" in mesh.axis_names:
+                # 2-D (dp × tp) mesh: shard wide kernels over the tp axis
+                # (Megatron-style column/row alternation; see
+                # parallel/model_sharding.py). Narrow layers stay replicated.
+                from dnnpde_tpu.parallel.model_sharding import shard_params_tp
+
+                self.params = shard_params_tp(self.params, mesh)
+            else:
+                self.params = jax.device_put(self.params, self._replicate)
         else:
             self._replicate = None
             self._shard_batch = None

@@ -12,6 +12,7 @@ from dnnpde_tpu.train.checkpoint import (
     save_checkpoint,
     save_checkpoint_orbax,
 )
+from dnnpde_tpu.train.ensemble import EnsembleResult, train_ensemble
 from dnnpde_tpu.train.optimizers import OPTIMIZER_NAMES, build_optimizer, is_lbfgs
 from dnnpde_tpu.train.schedules import PhaseSpec, TimeStepRefinement, two_phase
 from dnnpde_tpu.train.trainer import (
@@ -40,4 +41,6 @@ __all__ = [
     "detect_anomalies",
     "device_memory_stats",
     "profile_trace",
+    "EnsembleResult",
+    "train_ensemble",
 ]

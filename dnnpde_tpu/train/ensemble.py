@@ -1,0 +1,133 @@
+"""Vmapped ensemble training: K models trained simultaneously in one program.
+
+The reference fans hyperparameter trials over host processes
+(``ProcessPoolExecutor``, ``sensitivity_analysis_trun.py:1122-1136``) — each
+process re-runs the whole Python training loop. On TPU the natural axis is
+*vmap*: K parameter sets (different seeds and/or learning rates) advance in
+lockstep inside a single jitted scan, so the chip sees K× larger batched
+matmuls instead of K sequential runs (SURVEY.md §2.6 "sweep runner: vmap
+over hyperparam axis").
+
+Per-member learning rates are supported by factoring the optimizer into its
+preconditioner (``scale_by_adam`` etc.) and applying the mapped −lr scaling
+manually — the transform state vmaps cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dnnpde_tpu.nets import build_network
+from dnnpde_tpu.pde.base import PDEProblem
+from dnnpde_tpu.sim.brownian import brownian_increments, time_grid
+from dnnpde_tpu.solver.bsde import SolverConfig, make_loss_fn
+
+_PRECONDITIONERS = {
+    "adam": optax.scale_by_adam,
+    "rmsprop": optax.scale_by_rms,
+    "sgd": lambda: optax.identity(),
+    "adamax": lambda: optax.scale_by_adamax(),
+}
+
+
+@dataclasses.dataclass
+class EnsembleResult:
+    params: object  # pytree with leading axis K
+    losses: np.ndarray  # (K, n_iter)
+    y0s: np.ndarray  # (K, n_iter)
+    final_loss: np.ndarray  # (K,)
+
+
+def train_ensemble(
+    problem: PDEProblem,
+    n_members: int,
+    n_iter: int,
+    M: int = 64,
+    N: int = 10,
+    layers: Optional[Sequence[int]] = None,
+    mode: str = "FC",
+    activation: str = "Sine",
+    learning_rates: float | Sequence[float] = 1e-3,
+    optimizer_type: str = "Adam",
+    clip_norm: float = 1.0,
+    seed: int = 0,
+    config: Optional[SolverConfig] = None,
+) -> EnsembleResult:
+    """Train ``n_members`` independently-initialized models in one jit.
+
+    ``learning_rates``: scalar (shared) or per-member sequence — for
+    lr sweeps, pass one lr per member.
+    """
+    key = jax.random.PRNGKey(seed)
+    layers = list(layers) if layers else [problem.dim + 1, 64, 64, 64, 64, 1]
+    net = build_network(mode, layers, activation)
+    loss_fn = make_loss_fn(problem, net, config or SolverConfig(remat=False))
+
+    opt_key = optimizer_type.lower()
+    if opt_key not in _PRECONDITIONERS:
+        raise ValueError(
+            f"ensemble supports {sorted(_PRECONDITIONERS)}, got {optimizer_type!r}"
+        )
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_norm), _PRECONDITIONERS[opt_key]()
+    )
+
+    lrs = jnp.broadcast_to(
+        jnp.asarray(learning_rates, jnp.float32), (n_members,)
+    )
+
+    D, Dw, T = problem.dim, problem.noise_dim, problem.T
+    dt = T / N
+    x0 = jnp.broadcast_to(jnp.asarray(problem.x0, jnp.float32), (M, D))
+    ts = jnp.swapaxes(time_grid(M, N, T), 0, 1)
+
+    init_keys = jax.random.split(key, n_members + 1)
+    member_keys, run_key = init_keys[:-1], init_keys[-1]
+    dummy = jnp.zeros((1, D + 1), jnp.float32)
+    params0 = jax.vmap(lambda k: net.init({"params": k}, dummy))(member_keys)
+    opt0 = jax.vmap(tx.init)(params0)
+
+    def member_iter(params, opt_state, lr, key):
+        kw, kn = jax.random.split(key)
+        dW = brownian_increments(kw, M, N, Dw, dt)
+        dWs = jnp.swapaxes(dW, 0, 1)
+        (loss, res), grads = jax.value_and_grad(
+            lambda p: (lambda r: (r.loss, r))(loss_fn(p, ts, dWs, x0, kn)),
+            has_aux=True,
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, res.Y0
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_states, keys):
+        def one_iter(carry, it_keys):
+            params, opt_states = carry
+            params, opt_states, losses, y0s = jax.vmap(member_iter)(
+                params, opt_states, lrs, it_keys
+            )
+            return (params, opt_states), (losses, y0s)
+
+        (params, opt_states), (losses, y0s) = jax.lax.scan(
+            one_iter, (params, opt_states), keys
+        )
+        return params, opt_states, losses, y0s
+
+    # (n_iter, K) per-iteration per-member keys
+    iter_keys = jax.random.split(run_key, n_iter * n_members).reshape(
+        n_iter, n_members, -1
+    )
+    params, _, losses, y0s = run(params0, opt0, iter_keys)
+    losses = np.asarray(losses).T  # (K, n_iter)
+    y0s = np.asarray(y0s).T
+    return EnsembleResult(
+        params=params, losses=losses, y0s=y0s, final_loss=losses[:, -1]
+    )

@@ -88,6 +88,11 @@ class Trainer:
         correlate increments (``with_corr_high_dimension_pde.py:316-353``).
       mesh: optional ``jax.sharding.Mesh`` with a "dp" axis to shard paths.
       nan_guard: skip updates on non-finite loss.
+      track_best: carry the min-loss (X, Y) paths through the training scan
+        (the reference's ``min_loss_state``, ``1d_BSPDE_case.py:396-399``).
+        Off by default: the carry defeats XLA's dead-code elimination of the
+        per-step path stacking and costs ~3× throughput (measured on 100D
+        BSB); the scalar ``min_loss`` is tracked either way.
     """
 
     def __init__(
@@ -105,6 +110,7 @@ class Trainer:
         seed: int = 42,
         mesh: Optional[Mesh] = None,
         nan_guard: bool = False,
+        track_best: bool = False,
         dtype=jnp.float32,
     ):
         self.problem = problem
@@ -113,6 +119,7 @@ class Trainer:
         self.dtype = dtype
         self.mesh = mesh
         self.nan_guard = nan_guard
+        self.track_best = track_best
         self.mode = mode
         self.activation = activation
 
@@ -223,8 +230,13 @@ class Trainer:
         x0 = jnp.asarray(problem.x0, dtype)
         ts = jnp.swapaxes(time_grid(M, N, T, dtype), 0, 1)  # (N+1, M, 1)
 
+        track_best = self.track_best
+
         def one_iter(carry, key):
-            params, opt_state, best_loss, best_X, best_Y = carry
+            if track_best:
+                params, opt_state, best_loss, best_X, best_Y = carry
+            else:
+                params, opt_state = carry
             kw, kn = jax.random.split(key)
             dW = brownian_increments(kw, M, N, Dw, dt, chol, dtype)
             if shard_batch is not None:
@@ -252,6 +264,10 @@ class Trainer:
                 )
             params = new_params
 
+            if not track_best:
+                # res.X / res.Y are unused → XLA dead-code-eliminates the
+                # path stacking entirely (measured 3× on 100D BSB).
+                return (params, opt_state), (loss, res.Y0)
             better = loss < best_loss
             best_loss = jnp.where(better, loss, best_loss)
             best_X = jnp.where(better, res.X, best_X)
@@ -264,13 +280,19 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=donate)
         def chunk(params, opt_state, keys):
-            best_loss = jnp.asarray(jnp.inf, dtype)
-            best_X = jnp.zeros((M, N + 1, D), dtype)
-            best_Y = jnp.zeros((M, N + 1, 1), dtype)
-            carry = (params, opt_state, best_loss, best_X, best_Y)
+            if track_best:
+                best_loss = jnp.asarray(jnp.inf, dtype)
+                best_X = jnp.zeros((M, N + 1, D), dtype)
+                best_Y = jnp.zeros((M, N + 1, 1), dtype)
+                carry = (params, opt_state, best_loss, best_X, best_Y)
+            else:
+                carry = (params, opt_state)
             carry, (losses, y0s) = jax.lax.scan(one_iter, carry, keys)
-            params, opt_state, best_loss, best_X, best_Y = carry
-            return params, opt_state, (losses, y0s, best_loss, best_X, best_Y)
+            if track_best:
+                params, opt_state, best_loss, best_X, best_Y = carry
+                return params, opt_state, (losses, y0s, best_loss, best_X, best_Y)
+            params, opt_state = carry
+            return params, opt_state, (losses, y0s, None, None, None)
 
         return chunk
 
@@ -327,10 +349,13 @@ class Trainer:
                 self.training_loss.append(float(losses.mean()))
                 self.iteration.append(it)
                 self.y0_log.append(float(y0s[-1]))
-                b_loss_f = float(b_loss)
-                if b_loss_f < min_loss:
-                    min_loss = b_loss_f
-                    min_state = (np.asarray(b_X), np.asarray(b_Y))
+                if self.track_best:
+                    b_loss_f = float(b_loss)
+                    if b_loss_f < min_loss:
+                        min_loss = b_loss_f
+                        min_state = (np.asarray(b_X), np.asarray(b_Y))
+                else:
+                    min_loss = min(min_loss, float(losses.min()))
                 if verbose:
                     now = time.time()
                     print(

@@ -178,3 +178,21 @@ def test_auto_remat_policy():
     assert not small.config.remat  # tiny footprint → no remat
     big = Trainer(prob, M=4096, N=512, layers=[4, 512, 512, 512, 512, 1])
     assert big.config.remat
+
+
+def test_track_best_state():
+    """track_best=True must return the min-loss (X, Y) rollout (reference
+    min_loss_state, 1d_BSPDE_case.py:396-399); off by default for speed."""
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1],
+                 seed=0, track_best=True)
+    res = tr.train(6, 1e-3, log_every=3, verbose=False)
+    assert res.min_loss_state is not None
+    X, Y = res.min_loss_state
+    assert X.shape == (8, 5, 3) and Y.shape == (8, 5, 1)
+    assert np.isfinite(res.min_loss)
+
+    tr2 = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    res2 = tr2.train(6, 1e-3, log_every=3, verbose=False)
+    assert res2.min_loss_state is None
+    assert np.isfinite(res2.min_loss)

@@ -1,0 +1,152 @@
+"""Tolerance-gated benchmark harness: the reference configs of BASELINE.md
+as runnable, oracle-gated benchmark rows.
+
+Each config trains the corresponding problem at the reference's constants,
+compares the learned Y0 against the config's oracle, and reports wall-clock,
+throughput, and the relative error — the numbers the reference never
+published (SURVEY.md §6) generated from scratch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from dnnpde_tpu.numerics import (
+    HestonParams,
+    basket_call_mc,
+    black_scholes_call,
+    bsb_exact_solution,
+    heston_call_price,
+    hjb_exact_mc,
+)
+from dnnpde_tpu.pde import (
+    BasketCallOption,
+    BlackScholesBarenblatt,
+    CallOption1D,
+    HamiltonJacobiBellman,
+    HestonPDE,
+)
+from dnnpde_tpu.train import Trainer
+
+
+@dataclasses.dataclass
+class BenchRow:
+    name: str
+    iters_per_sec: float
+    paths_steps_per_sec: float
+    learned_y0: float
+    oracle_y0: float
+    rel_error: float
+    wall_time_s: float
+    config: dict
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _run(
+    name: str,
+    problem,
+    oracle_y0: float,
+    M: int,
+    N: int,
+    iters: tuple[int, int],
+    lrs: tuple[float, float],
+    mode: str = "FC",
+    activation: str = "Sine",
+    layers=None,
+    seed: int = 0,
+) -> BenchRow:
+    trainer = Trainer(
+        problem, M=M, N=N, layers=layers, mode=mode, activation=activation,
+        seed=seed,
+    )
+    # compile outside the timed region (chunk length = 100)
+    trainer.train(100, lrs[0], log_every=100, verbose=False)
+    t0 = time.perf_counter()
+    trainer.train(iters[0], lrs[0], log_every=100, verbose=False)
+    trainer.train(iters[1], lrs[1], log_every=100, verbose=False)
+    wall = time.perf_counter() - t0
+    total_iters = iters[0] + iters[1]
+    learned = trainer.y0_log[-1]
+    rel = abs(learned - oracle_y0) / max(abs(oracle_y0), 1e-12)
+    return BenchRow(
+        name=name,
+        iters_per_sec=total_iters / wall,
+        paths_steps_per_sec=total_iters * M * N / wall,
+        learned_y0=float(learned),
+        oracle_y0=float(oracle_y0),
+        rel_error=float(rel),
+        wall_time_s=wall,
+        config=dict(M=M, N=N, D=problem.dim, mode=mode, activation=activation,
+                    iters=list(iters), lrs=list(lrs)),
+    )
+
+
+def bench_bsb_100d(iters=(2000, 500), seed: int = 0) -> BenchRow:
+    """100D BSB FC-Sine (reference config ``DeepBSDE.py:430-448``;
+    oracle: closed form)."""
+    p = BlackScholesBarenblatt(D=100)
+    oracle = float(bsb_exact_solution(0.0, np.asarray(p.x0)[None, :], T=p.T)[0, 0])
+    return _run("bsb_100d_fc_sine", p, oracle, M=100, N=50, iters=iters,
+                lrs=(1e-3, 1e-5), seed=seed)
+
+
+def bench_call_1d(iters=(2000, 500), seed: int = 0) -> BenchRow:
+    """1D BS call (reference ``1d_BSPDE_case.py:991-1060``; oracle: BS)."""
+    p = CallOption1D(D=1)
+    oracle = float(black_scholes_call(1.0, p.K, p.T, p.r, p.sigma_bar))
+    return _run("call_1d_fc_sine", p, oracle, M=100, N=50, iters=iters,
+                lrs=(1e-3, 1e-5), seed=seed)
+
+
+def bench_basket_100d(iters=(2000, 500), seed: int = 0) -> BenchRow:
+    """100D basket call, NAIS-Net Sine (reference ``nd_BSPDE_case.py:748-801``;
+    oracle: 200k-path MC)."""
+    p = BasketCallOption(D=100)
+    mc, _ = basket_call_mc(
+        jax.random.PRNGKey(0), np.ones(100), p.strike, p.T, p.r, p.sigma_bar,
+        num_paths=200_000,
+    )
+    return _run("basket_100d_naisnet_sine", p, float(mc), M=100, N=50,
+                iters=iters, lrs=(1e-3, 1e-5), mode="Naisnet", seed=seed)
+
+
+def bench_hjb_100d(iters=(2000, 500), seed: int = 0) -> BenchRow:
+    """100D HJB, Naisnet-ReLU, M=16 (reference ``hjb_implement.py:1122-1146``;
+    oracle: 1e5-sample MC)."""
+    p = HamiltonJacobiBellman(D=100)
+    oracle = float(hjb_exact_mc(jax.random.PRNGKey(0), 0.0, np.zeros(100)))
+    return _run("hjb_100d_naisnet_relu", p, oracle, M=16, N=50, iters=iters,
+                lrs=(1e-3, 1e-4), mode="Naisnet", activation="ReLU", seed=seed)
+
+
+def bench_heston(iters=(2000, 500), seed: int = 0) -> BenchRow:
+    """Heston M=128 (reference ``heston_dnnpde.py:1226-1273``; oracle:
+    corrected closed form)."""
+    p = HestonPDE()
+    oracle = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0),
+    ))
+    return _run("heston_m128", p, oracle, M=128, N=50, iters=iters,
+                lrs=(1e-3, 1e-5), seed=seed)
+
+
+ALL_BENCHES: dict[str, Callable[..., BenchRow]] = {
+    "bsb_100d": bench_bsb_100d,
+    "call_1d": bench_call_1d,
+    "basket_100d": bench_basket_100d,
+    "hjb_100d": bench_hjb_100d,
+    "heston": bench_heston,
+}
+
+
+def run_all(iters=(2000, 500), seed: int = 0) -> list[BenchRow]:
+    return [fn(iters=iters, seed=seed) for fn in ALL_BENCHES.values()]

@@ -19,6 +19,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from dnnpde_tpu.numerics.quadrature import complex_safe
+
 Array = jnp.ndarray
 
 
@@ -52,6 +54,7 @@ def basket_lognormal_cf_params(
     return B0, sigma_B
 
 
+@complex_safe
 def carr_madan_call(
     B0: float,
     K: float,

@@ -19,7 +19,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from dnnpde_tpu.numerics.quadrature import gauss_legendre
+from dnnpde_tpu.numerics.quadrature import complex_safe, gauss_legendre
 
 Array = jnp.ndarray
 
@@ -78,6 +78,7 @@ def _prob(p: HestonParams, S: Array, V: Array, which: int, order: int) -> Array:
     return 0.5 + integral / jnp.pi
 
 
+@complex_safe
 def heston_call_price(
     S,
     V,
@@ -108,6 +109,7 @@ def heston_call_price(
     return S * p1 - params.K * disc * p2
 
 
+@complex_safe
 def heston_price_surface(
     S_values, V_values, params: HestonParams = HestonParams(), order: int = 256
 ) -> Array:
@@ -119,6 +121,7 @@ def heston_price_surface(
     )
 
 
+@complex_safe
 def heston_delta_surface(
     S_values, V_values, params: HestonParams = HestonParams(), order: int = 256
 ) -> Array:
@@ -131,6 +134,7 @@ def heston_delta_surface(
     return jnp.concatenate([d, jnp.zeros_like(grid[:1, :])], axis=0)
 
 
+@complex_safe
 def heston_gamma_surface(
     S_values, V_values, params: HestonParams = HestonParams(), order: int = 256
 ) -> Array:

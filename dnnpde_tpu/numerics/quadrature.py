@@ -10,10 +10,29 @@ validated in tests (SURVEY.md §7 "oracles under jit").
 
 from __future__ import annotations
 
-from functools import lru_cache
+import contextlib
+from functools import lru_cache, wraps
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def complex_safe(fn):
+    """Run ``fn`` on the CPU backend when the default backend lacks complex
+    arithmetic (TPU: complex64 ops are UNIMPLEMENTED). The characteristic-
+    function pricers are tiny host-side oracles — microseconds on CPU — so
+    this costs nothing while keeping them usable from TPU programs."""
+
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        if jax.default_backend() in ("cpu",):
+            return fn(*args, **kwargs)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 @lru_cache(maxsize=16)

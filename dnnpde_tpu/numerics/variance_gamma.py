@@ -21,7 +21,7 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from dnnpde_tpu.numerics.quadrature import gauss_legendre
+from dnnpde_tpu.numerics.quadrature import complex_safe, gauss_legendre
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +33,7 @@ class VGParams:
     theta: float = -0.95
 
 
+@complex_safe
 def vg_basket_call(
     S0_weights: Sequence[Tuple[float, float]],
     K: float,

@@ -1,0 +1,180 @@
+"""Unified command-line interface.
+
+The reference has no CLI or config system — constants live in ``__main__``
+blocks with hard-coded output paths (SURVEY.md §5 "Config / flag system:
+none"). This CLI exposes every axis those blocks sweep:
+
+  python -m dnnpde_tpu --problem bsb --D 100 --M 100 --N 50 \\
+      --mode FC --activation Sine --iters 2000 500 --lrs 1e-3 1e-5 \\
+      --out results/
+
+Trains, evaluates against the problem's oracle, and writes loss curves,
+prediction plots and a results CSV to ``--out``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+PROBLEMS = ("bsb", "call1d", "callnd", "basket", "testcase", "hjb", "heston")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dnnpde_tpu",
+        description="TPU-native deep-BSDE PDE solver",
+    )
+    p.add_argument("--problem", choices=PROBLEMS, default="bsb")
+    p.add_argument("--D", type=int, default=100, help="state dimension")
+    p.add_argument("--M", type=int, default=100, help="paths / batch size")
+    p.add_argument("--N", type=int, default=50, help="time steps")
+    p.add_argument("--T", type=float, default=1.0, help="terminal time")
+    p.add_argument("--mode", default="FC",
+                   help="FC | Naisnet | Resnet | Verlet | SDEnet")
+    p.add_argument("--activation", default="Sine", help="Sine | ReLU | Tanh")
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--optimizer", default="Adam")
+    p.add_argument("--iters", type=int, nargs=2, default=[2000, 500],
+                   metavar=("INITIAL", "FINE"))
+    p.add_argument("--lrs", type=float, nargs=2, default=[1e-3, 1e-5],
+                   metavar=("INITIAL", "FINE"))
+    p.add_argument("--Mm", type=float, default=None,
+                   help="time-step refinement base (enables the schedule)")
+    p.add_argument("--correlation", default="no_correlation",
+                   help="no_correlation | random_correlation | "
+                        "restricted_random_correlation")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard paths over this many devices (0 = single)")
+    p.add_argument("--checkpoint", default=None,
+                   help="save final model/optimizer state here")
+    p.add_argument("--resume", default=None, help="load checkpoint before training")
+    p.add_argument("--out", default="results", help="output directory")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def make_problem(args):
+    from dnnpde_tpu import pde
+
+    if args.problem == "bsb":
+        return pde.BlackScholesBarenblatt(D=args.D, T=args.T)
+    if args.problem == "call1d":
+        return pde.CallOption1D(D=args.D, T=args.T)
+    if args.problem == "callnd":
+        return pde.CallOptionND(D=args.D, T=args.T)
+    if args.problem == "basket":
+        return pde.BasketCallOption(D=args.D, T=args.T)
+    if args.problem == "testcase":
+        return pde.BSPDETestCase(D=args.D, T=args.T)
+    if args.problem == "hjb":
+        return pde.HamiltonJacobiBellman(D=args.D, T=args.T)
+    if args.problem == "heston":
+        return pde.HestonPDE(T=args.T)
+    raise ValueError(args.problem)
+
+
+def oracle_y0(problem, args) -> float | None:
+    """Best-available oracle for u(0, x0) per problem."""
+    import jax
+
+    from dnnpde_tpu import numerics
+
+    name = args.problem
+    if name in ("bsb", "testcase"):
+        return float(
+            problem.exact_solution(np.zeros((1, 1)), np.asarray(problem.x0)[None, :])[0, 0]
+        )
+    if name == "call1d":
+        return float(numerics.black_scholes_call(
+            1.0, problem.K, problem.T, problem.r, problem.sigma_bar))
+    if name in ("callnd", "basket"):
+        payoff = "sum" if name == "callnd" else "mean"
+        K = problem.K if name == "callnd" else problem.strike
+        mc, _ = numerics.basket_call_mc(
+            jax.random.PRNGKey(0), np.ones(problem.dim), K, problem.T,
+            problem.r, problem.sigma_bar, num_paths=200_000, payoff=payoff,
+        )
+        return float(mc)
+    if name == "hjb":
+        return float(numerics.hjb_exact_mc(
+            jax.random.PRNGKey(0), 0.0, np.zeros(problem.dim), T=problem.T))
+    if name == "heston":
+        return float(numerics.heston_call_price(
+            problem.S0, problem.v0,
+            numerics.HestonParams(
+                K=problem.strike, r=problem.r, T=problem.T,
+                kappa=problem.kappa, theta=problem.theta,
+                sigma=problem.sigma_v, rho=problem.rho, v0=problem.v0,
+            ),
+        ))
+    return None
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from dnnpde_tpu.evals import PredictionGenerator, TrainingPlot, error_stats
+    from dnnpde_tpu.train import Trainer
+
+    problem = make_problem(args)
+    mesh = None
+    if args.dp:
+        from dnnpde_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.dp)
+
+    layers = [problem.dim + 1] + [args.width] * args.depth + [1]
+    trainer = Trainer(
+        problem, M=args.M, N=args.N, layers=layers, mode=args.mode,
+        activation=args.activation, Mm=args.Mm,
+        correlation_type=args.correlation, seed=args.seed, mesh=mesh,
+    )
+    if args.resume:
+        trainer.load_model(args.resume)
+
+    t0 = time.time()
+    r1 = trainer.train(args.iters[0], args.lrs[0], args.optimizer,
+                       log_every=args.log_every, verbose=not args.quiet)
+    r2 = trainer.train(args.iters[1], args.lrs[1], args.optimizer,
+                       log_every=args.log_every, verbose=not args.quiet)
+    wall = time.time() - t0
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    plot = TrainingPlot(str(out))
+    graph = np.stack((trainer.iteration, trainer.training_loss))
+    plot.plot_training_loss(graph, args.mode, args.activation, args.optimizer)
+    preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
+    plot.plot_prediction(preds.t_test, preds.Y_pred, args.mode,
+                         args.activation, args.optimizer)
+
+    exact = oracle_y0(problem, args)
+    learned = trainer.y0_log[-1]
+    summary = {
+        "problem": args.problem, "D": problem.dim, "M": args.M, "N": args.N,
+        "mode": args.mode, "activation": args.activation,
+        "optimizer": args.optimizer,
+        "learned_y0": learned,
+        "oracle_y0": exact,
+        "rel_error": (abs(learned - exact) / max(abs(exact), 1e-12)
+                      if exact is not None else None),
+        "min_loss": min(r1.min_loss, r2.min_loss),
+        "wall_time_s": wall,
+        "iters_per_sec": sum(args.iters) / wall,
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    if args.checkpoint:
+        trainer.save_model(args.checkpoint)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,51 @@
+"""CLI tests: argument parsing, problem construction, tiny end-to-end run."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dnnpde_tpu.cli import build_parser, main, make_problem, oracle_y0
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args([])
+    assert args.problem == "bsb" and args.M == 100 and args.N == 50
+    assert args.iters == [2000, 500] and args.lrs == [1e-3, 1e-5]
+
+
+def test_parser_rejects_unknown_problem():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--problem", "navier-stokes"])
+
+
+@pytest.mark.parametrize("name,dim", [
+    ("bsb", 10), ("call1d", 1), ("callnd", 5), ("basket", 5),
+    ("testcase", 5), ("hjb", 5), ("heston", 2),
+])
+def test_make_problem(name, dim):
+    args = build_parser().parse_args(["--problem", name, "--D", str(dim)])
+    p = make_problem(args)
+    assert p.dim == (2 if name == "heston" else dim)
+
+
+def test_oracle_available_for_every_problem():
+    for name in ("bsb", "call1d", "basket", "hjb", "heston"):
+        args = build_parser().parse_args(["--problem", name, "--D", "3"])
+        val = oracle_y0(make_problem(args), args)
+        assert val is not None and np.isfinite(val), name
+
+
+def test_cli_end_to_end(tmp_path):
+    rc = main([
+        "--problem", "call1d", "--D", "1", "--M", "8", "--N", "3",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+        "--checkpoint", str(tmp_path / "m.bin"),
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert np.isfinite(summary["learned_y0"])
+    assert summary["rel_error"] is not None
+    assert (tmp_path / "m.bin").exists()
+    assert any(f.suffix == ".png" for f in tmp_path.iterdir())

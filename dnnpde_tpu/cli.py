@@ -92,12 +92,13 @@ def oracle_y0(problem, args) -> float | None:
         return float(
             problem.exact_solution(np.zeros((1, 1)), np.asarray(problem.x0)[None, :])[0, 0]
         )
-    if name == "call1d":
+    if name == "call1d" and problem.dim == 1:
         return float(numerics.black_scholes_call(
             1.0, problem.K, problem.T, problem.r, problem.sigma_bar))
-    if name in ("callnd", "basket"):
-        payoff = "sum" if name == "callnd" else "mean"
-        K = problem.K if name == "callnd" else problem.strike
+    if name in ("call1d", "callnd", "basket"):
+        # multi-asset sum/mean payoffs: MC oracle on the actual basket
+        payoff = "mean" if name == "basket" else "sum"
+        K = problem.strike if name == "basket" else problem.K
         mc, _ = numerics.basket_call_mc(
             jax.random.PRNGKey(0), np.ones(problem.dim), K, problem.T,
             problem.r, problem.sigma_bar, num_paths=200_000, payoff=payoff,

@@ -28,8 +28,11 @@ def compute_greeks(trainer, t, X) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     t = jnp.asarray(t, jnp.float32).reshape(-1, 1)
     X = jnp.asarray(X, jnp.float32).reshape(-1, trainer.problem.dim)
 
+    stochastic = getattr(trainer.config, "stochastic_net", False)
+    rngs = {"sde": jax.random.PRNGKey(0)} if stochastic else None
+
     def u_single(x, ti):
-        u = net.apply(params, jnp.concatenate([ti, x])[None, :])[0, 0]
+        u = net.apply(params, jnp.concatenate([ti, x])[None, :], rngs=rngs)[0, 0]
         if clamp is not None:
             u = jnp.maximum(u, clamp)
         return u

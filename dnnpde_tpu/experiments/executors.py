@@ -115,9 +115,8 @@ class TrainingExecutor:
             stats = error_stats(preds.Y_pred[:, 0, 0], float(exact_price))
             radii = StabilityCheck(trainer, num_points=32).evaluate_stability()
 
-            self.plot.plot_training_loss(
-                np.concatenate([r1.graph, r2.graph], axis=1), mode, act, opt
-            )
+            # r2.graph is cumulative across both phases (Trainer history)
+            self.plot.plot_training_loss(r2.graph, mode, act, opt)
             self.plot.plot_prediction(preds.t_test, preds.Y_pred, mode, act, opt)
             self.report.add_row(**{
                 "Batch Size": M, "Dimensions": D,

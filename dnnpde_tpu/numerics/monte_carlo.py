@@ -133,14 +133,10 @@ def basket_price_paths_mc(
         basket = jnp.mean(paths, axis=-1)  # (M, N+1)
     else:
         basket = jnp.sum(paths, axis=-1)
-    # European value estimate at step n: discounted expected payoff of the
-    # terminal cross-section conditioned on time-n forward growth.
+    # per-step estimate: discounted intrinsic of the forward-grown basket,
+    # averaged over paths (matches the reference's plotted price paths)
     tau = T - t
     grown = basket * jnp.exp(r * tau)[None, :]
-    pay_T = jnp.maximum(basket[:, -1] - K, 0.0)
-    # pathwise running estimate: E[payoff]·e^{−rτ} using terminal outcomes
-    price_path = jnp.exp(-r * tau) * jnp.mean(pay_T) * jnp.ones_like(t)
-    # a more informative path: mean discounted intrinsic of the grown basket
     intrinsic_path = jnp.exp(-r * tau)[None, :] * jnp.maximum(grown - K, 0.0)
     return t, jnp.mean(intrinsic_path, axis=0)
 

@@ -44,12 +44,15 @@ def _kernel_spec(path: tuple, leaf, min_shard_dim: int) -> P:
     replicated (a 128-wide layer on 8 chips is 16 lanes — not worth it)."""
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     is_kernel = leaf.ndim == 2
-    # depth index: count Dense_i occurrences in the path
+    # depth index: the OUTER module name carries the layer index (paths look
+    # like ('params', 'Dense_3', 'Dense_0', 'kernel') — the inner wrapper is
+    # always Dense_0, so take the first indexed name, not the last)
     depth = 0
     for n in names:
         if isinstance(n, str) and "_" in n:
             try:
                 depth = int(n.rsplit("_", 1)[1])
+                break
             except ValueError:
                 pass
     if is_kernel and max(leaf.shape) >= min_shard_dim:

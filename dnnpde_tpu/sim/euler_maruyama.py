@@ -70,6 +70,8 @@ def gbm_paths(
     D = S0.shape[-1]
     dt = T / N
     if antithetic:
+        if M % 2 != 0:
+            raise ValueError(f"antithetic sampling requires even M, got {M}")
         half = brownian_increments(key, M // 2, N, D, dt, chol)
         dw = jnp.concatenate([half, -half], axis=0)
     else:

@@ -9,8 +9,8 @@ clipping (global norm 1.0, reference ``clip_grad_norm_`` at
 Notes on mappings:
 - ASGD: optax has no averaged-SGD; during *training* torch's ASGD takes plain
   SGD steps and only maintains a side average (used if you explicitly swap
-  parameters). We map it to SGD and additionally track a Polyak average via
-  ``optax.ema`` so the averaged iterate is available from the optimizer state.
+  parameters in). The training dynamics therefore ARE plain SGD, which is how
+  we map it; the side average is not maintained.
 - LBFGS: ``optax.lbfgs`` with zoom linesearch; it needs the loss closure at
   update time — the trainer handles that branch (the reference's LBFGS path
   has a double-backward quirk, ``1d_BSPDE_case.py:385-388``, not replicated).
@@ -61,7 +61,7 @@ def build_optimizer(
     elif key == "adamax":
         tx = optax.adamax(learning_rate)
     elif key == "asgd":
-        tx = optax.chain(optax.sgd(learning_rate), optax.ema(decay=0.999))
+        tx = optax.sgd(learning_rate)
     elif key == "lbfgs":
         # No clipping for LBFGS (parity with the reference branch).
         return optax.lbfgs(learning_rate)

@@ -175,6 +175,7 @@ class Trainer:
         self.y0_log: list[float] = []
         self._opt_state = None
         self._opt_sig: Optional[tuple] = None
+        self._next_it = 0
         self._chunk_cache: dict[tuple, Any] = {}
 
         if mesh is not None:
@@ -250,19 +251,28 @@ class Trainer:
 
             if lbfgs:
                 value_fn = lambda p: self.loss_fn(p, ts, dWs, X0, kn).loss
-                updates, opt_state = tx.update(
+                updates, new_opt_state = tx.update(
                     grads, opt_state, params,
                     value=loss, grad=grads, value_fn=value_fn,
                 )
             else:
-                updates, opt_state = tx.update(grads, opt_state, params)
+                updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             if nan_guard:
+                # Skip the WHOLE update on non-finite loss — optimizer state
+                # included, else NaN grads poison the Adam moments and the
+                # very next (finite-loss) step re-applies NaN updates.
                 ok = jnp.isfinite(loss)
                 new_params = jax.tree.map(
                     lambda new, old: jnp.where(ok, new, old), new_params, params
                 )
+                new_opt_state = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old)
+                    if hasattr(new, "dtype") else new,
+                    new_opt_state, opt_state,
+                )
             params = new_params
+            opt_state = new_opt_state
 
             if not track_best:
                 # res.X / res.Y are unused → XLA dead-code-eliminates the
@@ -323,7 +333,10 @@ class Trainer:
             self._opt_sig = opt_sig
             self._chunk_cache.clear()
 
-        previous_it = self.iteration[-1] if self.iteration else 0
+        # Exact cumulative iteration count — the reference resumes from its
+        # last *logged* index (1d_BSPDE_case.py:333-335), which relabels up
+        # to log_every-1 already-run iterations; not replicated.
+        previous_it = self._next_it
         start = time.time()
         tick = start
         min_loss = float("inf")
@@ -365,6 +378,7 @@ class Trainer:
                     tick = now
                 done += k
 
+        self._next_it = previous_it + n_iter
         graph = np.stack(
             (np.asarray(self.iteration), np.asarray(self.training_loss))
         )
@@ -416,6 +430,8 @@ class Trainer:
             file_name,
             params=self.params,
             opt_state=self._opt_state,
+            opt_sig=self._opt_sig,
+            next_it=self._next_it,
             training_loss=self.training_loss,
             iteration=self.iteration,
             y0_log=self.y0_log,
@@ -425,15 +441,27 @@ class Trainer:
     def load_model(self, file_name: str) -> None:
         from dnnpde_tpu.train.checkpoint import restore_checkpoint
 
-        state = restore_checkpoint(
-            file_name, params_template=self.params, opt_state_template=self._opt_state
-        )
+        # Build the optimizer-state template from the saved signature so the
+        # restored moments survive the next train() call (which only re-inits
+        # when the signature changes).
+        state = restore_checkpoint(file_name, params_template=self.params)
         self.params = state["params"]
-        if state.get("opt_state") is not None:
-            self._opt_state = state["opt_state"]
+        saved_sig = state.get("opt_sig")
+        if saved_sig is not None:
+            saved_sig = tuple(saved_sig)
+            tx = build_optimizer(saved_sig[0], saved_sig[1])
+            state = restore_checkpoint(
+                file_name,
+                params_template=self.params,
+                opt_state_template=tx.init(self.params),
+            )
+            if state.get("opt_state") is not None:
+                self._opt_state = state["opt_state"]
+                self._opt_sig = saved_sig
         self.training_loss = list(state["training_loss"])
         self.iteration = list(state["iteration"])
         self.y0_log = list(state.get("y0_log", []))
+        self._next_it = int(state.get("next_it", self.iteration[-1] if self.iteration else 0))
         if state.get("key") is not None:
             self.key = state["key"]
 

@@ -61,3 +61,15 @@ def test_tp_training_matches_replicated(mesh_2d):
     r1 = tr_plain.train(4, 1e-3, log_every=2, verbose=False)
     r2 = tr_tp.train(4, 1e-3, log_every=2, verbose=False)
     np.testing.assert_allclose(r1.graph[1], r2.graph[1], rtol=1e-3)
+
+
+def test_tp_alternates_column_and_row(mesh_2d, rng_key):
+    """Regression: depth parsing must see the OUTER layer index so the
+    Megatron column/row alternation actually alternates."""
+    net = MLP(layers=(9, 512, 512, 512, 1), activation="sine")
+    params = net.init(rng_key, jnp.ones((1, 9)))
+    summary = tp_sharding_summary(shard_params_tp(params, mesh_2d))
+    kernel_specs = [v for k, v in sorted(summary.items()) if k.endswith("kernel")]
+    col = [s for s in kernel_specs if "None, 'tp'" in s]
+    row = [s for s in kernel_specs if "'tp'," in s and not "None, 'tp'" in s]
+    assert col and row, kernel_specs

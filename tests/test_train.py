@@ -196,3 +196,47 @@ def test_track_best_state():
     res2 = tr2.train(6, 1e-3, log_every=3, verbose=False)
     assert res2.min_loss_state is None
     assert np.isfinite(res2.min_loss)
+
+
+def test_load_model_preserves_optimizer_state(tmp_path):
+    """Regression: restored Adam moments must survive the next train() call
+    (previously _opt_sig stayed None and train() re-initialized)."""
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    tr.train(6, 1e-3, log_every=3, verbose=False)
+    f = str(tmp_path / "ckpt.bin")
+    tr.save_model(f)
+
+    tr2 = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=99)
+    tr2.load_model(f)  # fresh trainer, never trained
+    assert tr2._opt_state is not None
+    assert tr2._opt_sig == ("Adam", 1e-3)
+    # second-moment accumulators are non-zero after restore
+    leaves = jax.tree_util.tree_leaves(tr2._opt_state)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves if hasattr(l, "shape"))
+    # training with the same signature must NOT re-init (moments kept)
+    before = [np.asarray(l).copy() for l in jax.tree_util.tree_leaves(tr2._opt_state) if hasattr(l, "shape")]
+    tr2.train(2, 1e-3, log_every=2, verbose=False)
+    after = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr2._opt_state) if hasattr(l, "shape")]
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+
+
+def test_iteration_labels_cumulative_no_overlap():
+    """Regression: successive train() calls must not relabel already-run
+    iterations (the reference resumes from the last LOGGED index)."""
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    tr.train(4, 1e-3, log_every=2, verbose=False)
+    tr.train(4, 1e-5, log_every=2, verbose=False)
+    assert tr.iteration == [0, 2, 4, 6]
+
+
+def test_nan_guard_protects_optimizer_state():
+    """Regression: a non-finite loss must not poison the Adam moments."""
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0,
+                 nan_guard=True)
+    tr.train(20, 1e6, log_every=10, verbose=False)
+    for leaf in jax.tree_util.tree_leaves(tr._opt_state):
+        if hasattr(leaf, "shape"):
+            assert np.isfinite(np.asarray(leaf)).all()

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 M, N, D = 100, 50, 100
-CHUNK = 100
-BENCH_ITERS = 400
+CHUNK = 250
+BENCH_ITERS = 1000
 TORCH_BASELINE_ITERS = 3
 
 

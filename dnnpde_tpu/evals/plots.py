@@ -193,6 +193,36 @@ class TrainingPlot:
         plt.title("Error heatmap")
         return self._save(f"{name}.png")
 
+    def plot_spherical_surface(
+        self, radius_dict: dict[str, np.ndarray], optimizer, name="SpectralRadiusSphere"
+    ) -> str:
+        """Spectral radii mapped onto a spherical scatter (reference
+        ``plot_spherical_surface`` + ``cartesian_to_spherical``,
+        ``1d_BSPDE_case.py:877-986``): points distributed on the unit sphere,
+        radial coordinate = spectral radius."""
+        fig = plt.figure(figsize=(10, 8))
+        ax = fig.add_subplot(111, projection="3d")
+        for key, r in radius_dict.items():
+            r = np.asarray(r)
+            n = len(r)
+            # golden-spiral point distribution on the sphere
+            idx = np.arange(n) + 0.5
+            phi = np.arccos(1 - 2 * idx / n)
+            theta = np.pi * (1 + 5**0.5) * idx
+            x = r * np.sin(phi) * np.cos(theta)
+            y = r * np.sin(phi) * np.sin(theta)
+            z = r * np.cos(phi)
+            ax.scatter(x, y, z, s=12, label=key, alpha=0.7)
+        # unit (stability-threshold) sphere wireframe
+        u, v = np.mgrid[0 : 2 * np.pi : 24j, 0 : np.pi : 12j]
+        ax.plot_wireframe(
+            np.cos(u) * np.sin(v), np.sin(u) * np.sin(v), np.cos(v),
+            color="r", alpha=0.2, linewidth=0.5,
+        )
+        ax.set_title(f"Spectral radii (r=1 sphere = stability threshold)\n{optimizer}")
+        ax.legend()
+        return self._save(f"{name}_{optimizer}.png")
+
     def plot_convergence(self, errors: dict[str, np.ndarray], name="Convergence") -> str:
         """L1/L2/L∞ vs epoch, semilog (reference ``ConvergenceAnalysis.plot_errors``,
         ``with_corr_high_dimension_pde.py:1085-1100``)."""

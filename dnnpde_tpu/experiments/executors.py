@@ -347,8 +347,28 @@ class HestonExecutor:
                 min_loss=min(r1.min_loss, r2.min_loss),
                 run_time=time.time() - tic,
             )
+            self._plot_learned_surfaces(trainer, M)
         self.report.to_csv(f"{self.save_path}/results_heston.csv")
         return self.report
+
+    def _plot_learned_surfaces(self, trainer, M: int) -> None:
+        """Learned price/delta/gamma surfaces over (S, v) at t=0 from the net
+        (reference plots closed-form surfaces at ``heston_dnnpde.py:1050-1120``
+        and greeks via ``calculate_greeks``)."""
+        from dnnpde_tpu.evals import compute_greeks
+
+        S_vals = np.linspace(0.5, 1.5, 12)
+        v_vals = np.linspace(0.05, 0.5, 8)
+        Sg, Vg = np.meshgrid(S_vals, v_vals, indexing="ij")
+        X = np.stack([Sg.ravel(), Vg.ravel()], axis=-1)
+        t = np.zeros((X.shape[0], 1))
+        u, delta, gamma_diag = compute_greeks(trainer, t, X)
+        price = u[:, 0].reshape(len(S_vals), len(v_vals))
+        dlt = delta[:, 0].reshape(len(S_vals), len(v_vals))
+        gma = gamma_diag[:, 0].reshape(len(S_vals), len(v_vals))
+        self.plot.plot_heston_surfaces(
+            S_vals, v_vals, price, dlt, gma, name=f"HestonLearned_M{M}"
+        )
 
 
 class SensitivityExecutor:

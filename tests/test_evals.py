@@ -178,3 +178,26 @@ def test_results_report_csv(tmp_path):
     df = pd.read_csv(path)
     assert df.loc[0, "Batch Size"] == 100
     assert "Mean Spectral Radius" in df.columns
+
+
+def test_spherical_surface_plot(tmp_path):
+    tp = TrainingPlot(str(tmp_path))
+    path = tp.plot_spherical_surface(
+        {"FC-Sine": np.random.default_rng(0).uniform(0.2, 1.4, 50)}, "Adam"
+    )
+    import os
+
+    assert os.path.getsize(path) > 0
+
+
+def test_profile_trace_smoke(tmp_path):
+    from dnnpde_tpu.train import profile_trace
+    import jax.numpy as jnp
+
+    with profile_trace(str(tmp_path)):
+        jax.jit(lambda x: x * 2)(jnp.ones(8)).block_until_ready()
+    # trace files written
+    import os
+
+    found = any(f for _, _, fs in os.walk(tmp_path) for f in fs)
+    assert found

@@ -121,7 +121,7 @@ def oracle_y0(problem, args) -> float | None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from dnnpde_tpu.evals import PredictionGenerator, TrainingPlot, error_stats
+    from dnnpde_tpu.evals import PredictionGenerator, TrainingPlot
     from dnnpde_tpu.train import Trainer
 
     problem = make_problem(args)

@@ -15,7 +15,7 @@ reference's ``{problem}{D}D_{mode}_{activation}_{optimizer}`` convention.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import matplotlib
 

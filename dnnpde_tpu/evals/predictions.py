@@ -11,8 +11,6 @@ and stays on device until the final concatenation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import numpy as np
 

@@ -19,9 +19,6 @@ host-side (it drives full training runs).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -56,7 +56,6 @@ from dnnpde_tpu.pde import (
     HamiltonJacobiBellman,
     HestonPDE,
 )
-from dnnpde_tpu.sim import cholesky_factor
 from dnnpde_tpu.train import Trainer, default_layers
 
 

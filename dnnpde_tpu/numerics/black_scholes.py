@@ -15,7 +15,6 @@ Parity targets:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm
 

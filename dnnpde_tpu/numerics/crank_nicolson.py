@@ -132,24 +132,33 @@ def crank_nicolson_heston(
 
     impl = eye - 0.5 * dt * A
     expl = eye + 0.5 * dt * A
-    impl_j = jnp.asarray(impl)
     expl_j = jnp.asarray(expl)
-    lu, piv = jax.scipy.linalg.lu_factor(impl_j)
+    lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(impl))
+    # Rannacher start-up: fully-implicit Euler for the first steps damps the
+    # CN oscillations seeded by the kinked call payoff (standard smoothing;
+    # the reference's plain CN inherits the oscillation).
+    lu_ie, piv_ie = jax.scipy.linalg.lu_factor(jnp.asarray(eye - dt * A))
 
     U0 = jnp.asarray(np.maximum(S[:, None] - p.K, 0.0) * np.ones((1, nv))).reshape(n)
     taus = jnp.arange(1, g.n_t + 1) * dt
     upper_mask = jnp.zeros(n).at[-nv:].set(1.0)
     lower_mask = jnp.zeros(n).at[:nv].set(1.0)
+    rannacher = 2
 
-    def step(u, tau):
-        rhs = expl_j @ u
+    def apply_bc(rhs, tau):
         # Dirichlet: U(τ, 0, v) = 0; U(τ, S_max, v) = S_max − K e^{−rτ}
         upper_val = g.S_max - p.K * jnp.exp(-p.r * tau)
-        rhs = rhs * (1.0 - upper_mask - lower_mask) + upper_mask * upper_val
-        u_next = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        return rhs * (1.0 - upper_mask - lower_mask) + upper_mask * upper_val
+
+    u = U0
+    for k in range(rannacher):  # implicit-Euler start-up (outside the scan)
+        u = jax.scipy.linalg.lu_solve((lu_ie, piv_ie), apply_bc(u, taus[k]))
+
+    def step(u, tau):
+        u_next = jax.scipy.linalg.lu_solve((lu, piv), apply_bc(expl_j @ u, tau))
         return u_next, None
 
-    U_final, _ = jax.lax.scan(step, U0, taus)
+    U_final, _ = jax.lax.scan(step, u, taus[rannacher:])
     U_grid = U_final.reshape(nS, nv)
 
     price = float(

@@ -10,7 +10,6 @@ validated in tests (SURVEY.md §7 "oracles under jit").
 
 from __future__ import annotations
 
-import contextlib
 from functools import lru_cache, wraps
 
 import jax

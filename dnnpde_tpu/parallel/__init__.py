@@ -6,6 +6,7 @@ from dnnpde_tpu.parallel.model_sharding import (
     shard_params_tp,
     tp_sharding_summary,
 )
+from dnnpde_tpu.parallel.shard_map_step import make_shard_map_train_step
 from dnnpde_tpu.parallel.mesh import (
     DP_AXIS,
     batch_sharding,
@@ -24,4 +25,5 @@ __all__ = [
     "make_mesh_2d",
     "shard_params_tp",
     "tp_sharding_summary",
+    "make_shard_map_train_step",
 ]

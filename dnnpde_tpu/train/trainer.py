@@ -179,6 +179,12 @@ class Trainer:
         self._chunk_cache: dict[tuple, Any] = {}
 
         if mesh is not None:
+            n_dp = mesh.shape.get("dp", 1)
+            if self.M % max(n_dp, 1) != 0:
+                raise ValueError(
+                    f"batch size M={self.M} must be divisible by the dp mesh "
+                    f"axis size {n_dp}"
+                )
             self._replicate = NamedSharding(mesh, P())
             self._shard_batch = NamedSharding(mesh, P("dp"))
             if "tp" in mesh.axis_names:

@@ -71,3 +71,19 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_trainer_rejects_indivisible_batch(mesh):
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    with pytest.raises(ValueError):
+        Trainer(BlackScholesBarenblatt(D=3), M=12, N=4,
+                layers=[4, 16, 16, 16, 16, 1], mesh=mesh)
+
+
+def test_distributed_helpers_single_host():
+    from dnnpde_tpu.parallel.distributed import global_device_summary, is_multi_host
+
+    assert not is_multi_host()
+    info = global_device_summary()
+    assert info["process_count"] == 1 and info["global_devices"] >= 8

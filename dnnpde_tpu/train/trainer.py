@@ -111,6 +111,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         nan_guard: bool = False,
         track_best: bool = False,
+        metrics_file: Optional[str] = None,
         dtype=jnp.float32,
     ):
         self.problem = problem
@@ -120,6 +121,7 @@ class Trainer:
         self.mesh = mesh
         self.nan_guard = nan_guard
         self.track_best = track_best
+        self.metrics_file = metrics_file
         self.mode = mode
         self.activation = activation
 
@@ -375,6 +377,14 @@ class Trainer:
                         min_state = (np.asarray(b_X), np.asarray(b_Y))
                 else:
                     min_loss = min(min_loss, float(losses.min()))
+                if self.metrics_file is not None:
+                    self._write_metrics(
+                        it=it, loss=float(losses[-1]),
+                        mean_loss=float(losses.mean()), y0=float(y0s[-1]),
+                        lr=learning_rate, N=b_N,
+                        optimizer=optimizer_type,
+                        elapsed_s=time.time() - start,
+                    )
                 if verbose:
                     now = time.time()
                     print(
@@ -395,6 +405,17 @@ class Trainer:
             y0_history=np.asarray(self.y0_log),
             wall_time=time.time() - start,
         )
+
+    def _write_metrics(self, **row) -> None:
+        """Append one JSON line per log point (observability aux — the
+        reference only prints; SURVEY.md §5 metrics/logging row)."""
+        import json
+        from pathlib import Path
+
+        path = Path(self.metrics_file)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     # ---------------------------------------------------------------- predict
     def predict(

@@ -240,3 +240,26 @@ def test_nan_guard_protects_optimizer_state():
     for leaf in jax.tree_util.tree_leaves(tr._opt_state):
         if hasattr(leaf, "shape"):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_metrics_jsonl_stream(tmp_path):
+    import json
+
+    prob = BlackScholesBarenblatt(D=3)
+    f = str(tmp_path / "metrics.jsonl")
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0,
+                 metrics_file=f)
+    tr.train(4, 1e-3, log_every=2, verbose=False)
+    rows = [json.loads(l) for l in open(f)]
+    assert len(rows) == 2
+    assert rows[0]["it"] == 0 and rows[1]["it"] == 2
+    assert all(np.isfinite(r["loss"]) for r in rows)
+    assert rows[0]["optimizer"] == "Adam" and rows[0]["N"] == 4
+
+
+def test_evaluate_u_shapes():
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    u, Z = tr.evaluate_u(np.zeros((5, 1)), np.ones((5, 3)))
+    assert u.shape == (5, 1) and Z.shape == (5, 3)
+    assert np.isfinite(u).all() and np.isfinite(Z).all()

@@ -83,3 +83,24 @@ def test_naisnet_bsb_converges():
     u0 = float(bsb_exact_solution(0.0, np.asarray(p.x0)[None, :], T=p.T)[0, 0])
     rel = abs(tr.y0_log[-1] - u0) / u0
     assert rel < 0.10, f"NAIS-Net BSB rel err {rel:.3f}"
+
+
+def test_correlated_basket_converges_to_mc_oracle():
+    """Correlated 5D basket: train with random correlation and gate Y0
+    against the MC oracle priced under the SAME Cholesky factor."""
+    from dnnpde_tpu.numerics import basket_call_mc
+    from dnnpde_tpu.pde import BasketCallOption
+
+    p = BasketCallOption(D=5)
+    tr = Trainer(p, M=128, N=10, layers=[6, 32, 32, 32, 32, 1], seed=0,
+                 correlation_type="random_correlation", correlation_seed=3)
+    tr.train(3000, 1e-3, log_every=500, verbose=False)
+    tr.train(500, 1e-4, log_every=100, verbose=False)
+    mc, se = basket_call_mc(
+        jax.random.PRNGKey(0), np.ones(5), p.strike, p.T, p.r, p.sigma_bar,
+        chol=tr.chol, num_paths=400_000,
+    )
+    # Y0 ≈ 0.05 is small, so the per-log Y0 wobbles; gate the fine-phase mean
+    y0 = float(np.mean(tr.y0_log[-5:]))
+    rel = abs(y0 - float(mc)) / float(mc)
+    assert rel < 0.20, f"correlated basket rel err {rel:.3f} vs MC {float(mc):.4f}"

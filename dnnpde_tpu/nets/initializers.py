@@ -29,8 +29,3 @@ def xavier_uniform(gain: float = 1.0) -> Initializer:
 
     return init
 
-
-def torch_linear_bias(key: jax.Array, shape, dtype=jnp.float32, fan_in: int = 1):
-    """PyTorch ``nn.Linear`` default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
-    bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)

@@ -21,7 +21,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dnnpde_tpu.pde.base import PDEProblem
-from dnnpde_tpu.sim.brownian import brownian_increments, time_grid
+from dnnpde_tpu.sim.brownian import time_major_batch
 from dnnpde_tpu.solver.bsde import SolverConfig, make_loss_fn
 
 DP_AXIS = "dp"
@@ -48,16 +48,13 @@ def make_shard_map_train_step(
     m_local = M // n_dev
     loss_fn = make_loss_fn(problem, net, config or SolverConfig())
     D, Dw, T = problem.dim, problem.noise_dim, problem.T
-    dt = T / N
     x0 = jnp.asarray(problem.x0, jnp.float32)
-    ts_local = jnp.swapaxes(time_grid(m_local, N, T), 0, 1)
 
     def local_step(params, opt_state, key):
         idx = jax.lax.axis_index(DP_AXIS)
         local_key = jax.random.fold_in(key, idx)
         kw, kn = jax.random.split(local_key)
-        dW = brownian_increments(kw, m_local, N, Dw, dt, chol)
-        dWs = jnp.swapaxes(dW, 0, 1)
+        ts_local, dWs = time_major_batch(kw, m_local, N, Dw, T, chol)
         X0 = jnp.broadcast_to(x0, (m_local, D))
 
         def local_loss(p):

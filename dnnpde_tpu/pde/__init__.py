@@ -1,6 +1,6 @@
 """PDE problem definitions (the reference's phi/g/mu/sigma zoo, SURVEY.md §2.3)."""
 
-from dnnpde_tpu.pde.base import PDEProblem, as_callable_problem
+from dnnpde_tpu.pde.base import CallableProblem, PDEProblem, as_callable_problem
 from dnnpde_tpu.pde.heston import HestonPDE
 from dnnpde_tpu.pde.problems import (
     BSPDETestCase,
@@ -14,6 +14,7 @@ from dnnpde_tpu.pde.problems import (
 __all__ = [
     "PDEProblem",
     "as_callable_problem",
+    "CallableProblem",
     "BlackScholesBarenblatt",
     "CallOption1D",
     "CallOptionND",

@@ -28,6 +28,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -125,6 +126,51 @@ class PDEProblem:
         return jnp.sum(Z * self.sigma_dw(sig, dW), axis=-1, keepdims=True)
 
 
+@dataclasses.dataclass(frozen=True)
+class CallableProblem(PDEProblem):
+    """Problem assembled from plain functions (user extension / tests).
+
+    The dynamics fields use ``_fn`` suffixes so they cannot shadow the
+    :class:`PDEProblem` methods they implement.
+    """
+
+    dim_: int = 1
+    sigma_kind_: str = "diag"
+    x0_: tuple = (1.0,)
+    mu_fn: Optional[Callable] = None
+    sigma_fn: Optional[Callable] = None
+    phi_fn: Optional[Callable] = None
+    g_fn: Optional[Callable] = None
+    exact_fn: Optional[Callable] = None
+
+    @property
+    def dim(self) -> int:
+        return self.dim_
+
+    @property
+    def sigma_kind(self) -> str:
+        return self.sigma_kind_
+
+    @property
+    def x0(self) -> Array:
+        return jnp.asarray(self.x0_, jnp.float32).reshape(self.dim_)
+
+    def mu(self, t, X, Y, Z):
+        return self.mu_fn(t, X, Y, Z)
+
+    def sigma(self, t, X, Y):
+        return self.sigma_fn(t, X, Y)
+
+    def phi(self, t, X, Y, Z):
+        return self.phi_fn(t, X, Y, Z)
+
+    def g(self, X):
+        return self.g_fn(X)
+
+    def exact_solution(self, t, X):
+        return self.exact_fn(t, X) if self.exact_fn is not None else None
+
+
 def as_callable_problem(
     *,
     dim: int,
@@ -139,36 +185,8 @@ def as_callable_problem(
     exact: Optional[Callable] = None,
 ) -> PDEProblem:
     """Build an ad-hoc problem from plain functions (for user extension/tests)."""
-
-    x0_arr = jnp.asarray(x0, dtype=jnp.float32).reshape(dim)
-
-    @dataclasses.dataclass(frozen=True)
-    class _Custom(PDEProblem):
-        @property
-        def dim(self) -> int:
-            return dim
-
-        @property
-        def sigma_kind(self) -> str:
-            return sigma_kind
-
-        @property
-        def x0(self) -> Array:
-            return x0_arr
-
-        def mu(self, t, X, Y, Z):
-            return mu(t, X, Y, Z)
-
-        def sigma(self, t, X, Y):
-            return sigma(t, X, Y)
-
-        def phi(self, t, X, Y, Z):
-            return phi(t, X, Y, Z)
-
-        def g(self, X):
-            return g(X)
-
-        def exact_solution(self, t, X):
-            return exact(t, X) if exact is not None else None
-
-    return _Custom(T=T, name=name)
+    return CallableProblem(
+        T=T, name=name, dim_=dim, sigma_kind_=sigma_kind,
+        x0_=tuple(np.asarray(x0, dtype=float).reshape(dim).tolist()),
+        mu_fn=mu, sigma_fn=sigma, phi_fn=phi, g_fn=g, exact_fn=exact,
+    )

@@ -5,6 +5,7 @@ from dnnpde_tpu.sim.brownian import (
     brownian_paths,
     paths_to_increments,
     time_grid,
+    time_major_batch,
 )
 from dnnpde_tpu.sim.correlation import (
     CORRELATION_TYPES,
@@ -25,6 +26,7 @@ __all__ = [
     "brownian_paths",
     "paths_to_increments",
     "time_grid",
+    "time_major_batch",
     "CORRELATION_TYPES",
     "cholesky_factor",
     "generate_correlation_matrix",

@@ -69,6 +69,23 @@ def brownian_paths(
     return time_grid(M, N, T, dtype), w
 
 
+def time_major_batch(
+    key: jax.Array,
+    M: int,
+    N: int,
+    D: int,
+    T: float,
+    chol: Optional[Array] = None,
+    dtype=jnp.float32,
+) -> tuple[Array, Array]:
+    """One training minibatch in the solver's time-major layout:
+    (ts (N+1, M, 1), dWs (N, M, D)) — the common prep shared by the trainer
+    chunk, the ensemble trainer, and the shard_map step."""
+    ts = jnp.swapaxes(time_grid(M, N, T, dtype), 0, 1)
+    dW = brownian_increments(key, M, N, D, T / N, chol, dtype)
+    return ts, jnp.swapaxes(dW, 0, 1)
+
+
 def paths_to_increments(t: Array, W: Array) -> tuple[Array, Array]:
     """Convert (t, W) path arrays to per-step (dt, dW) increments.
 

@@ -26,7 +26,7 @@ import optax
 
 from dnnpde_tpu.nets import build_network
 from dnnpde_tpu.pde.base import PDEProblem
-from dnnpde_tpu.sim.brownian import brownian_increments, time_grid
+from dnnpde_tpu.sim.brownian import time_major_batch, time_grid
 from dnnpde_tpu.solver.bsde import SolverConfig, make_loss_fn
 
 _PRECONDITIONERS = {
@@ -84,7 +84,6 @@ def train_ensemble(
     )
 
     D, Dw, T = problem.dim, problem.noise_dim, problem.T
-    dt = T / N
     x0 = jnp.broadcast_to(jnp.asarray(problem.x0, jnp.float32), (M, D))
     ts = jnp.swapaxes(time_grid(M, N, T), 0, 1)
 
@@ -96,8 +95,7 @@ def train_ensemble(
 
     def member_iter(params, opt_state, lr, key):
         kw, kn = jax.random.split(key)
-        dW = brownian_increments(kw, M, N, Dw, dt)
-        dWs = jnp.swapaxes(dW, 0, 1)
+        _, dWs = time_major_batch(kw, M, N, Dw, T)
         (loss, res), grads = jax.value_and_grad(
             lambda p: (lambda r: (r.loss, r))(loss_fn(p, ts, dWs, x0, kn)),
             has_aux=True,

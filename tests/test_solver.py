@@ -153,3 +153,30 @@ def test_xi_broadcast_single_initial_state(rng_key):
     r1 = loss_fn(params, t, W, problem.x0[None, :])  # Xi (1, D) broadcast
     r2 = loss_fn(params, t, W, jnp.broadcast_to(problem.x0, (6, 3)))
     np.testing.assert_allclose(float(r1.loss), float(r2.loss), rtol=1e-6)
+
+
+def test_as_callable_problem_trains(rng_key):
+    """Custom-problem extension API: plain functions → trainable problem."""
+    from dnnpde_tpu.pde import as_callable_problem
+    from dnnpde_tpu.train import Trainer
+
+    prob = as_callable_problem(
+        dim=2, T=1.0, x0=[1.0, 1.0],
+        mu=lambda t, X, Y, Z: 0.05 * X,
+        sigma=lambda t, X, Y: 0.2 * X,
+        phi=lambda t, X, Y, Z: 0.05 * Y,
+        g=lambda X: jnp.sum(X**2, axis=-1, keepdims=True),
+        name="custom-test",
+    )
+    assert prob.dim == 2 and prob.sigma_kind == "diag"
+    tr = Trainer(prob, M=8, N=3, layers=[3, 16, 16, 16, 16, 1], seed=0)
+    res = tr.train(4, 1e-3, log_every=2, verbose=False)
+    assert np.isfinite(res.graph[1]).all()
+
+
+def test_time_major_batch_layout(rng_key):
+    from dnnpde_tpu.sim import time_major_batch
+
+    ts, dWs = time_major_batch(rng_key, M=6, N=4, D=3, T=2.0)
+    assert ts.shape == (5, 6, 1) and dWs.shape == (4, 6, 3)
+    np.testing.assert_allclose(np.asarray(ts[:, 0, 0]), [0, 0.5, 1.0, 1.5, 2.0])

@@ -46,30 +46,29 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     """Build an optax chain by the reference's optimizer_type string."""
     key = optimizer_type.lower()
-    if key == "adam":
-        tx = optax.adam(learning_rate)
-    elif key == "sgd":
-        tx = optax.sgd(learning_rate)
-    elif key == "rmsprop":
-        tx = optax.rmsprop(learning_rate)
-    elif key == "adamw":
-        tx = optax.adamw(learning_rate)
-    elif key == "adadelta":
-        tx = optax.adadelta(learning_rate)
-    elif key == "adagrad":
-        tx = optax.adagrad(learning_rate)
-    elif key == "adamax":
-        tx = optax.adamax(learning_rate)
-    elif key == "asgd":
-        tx = optax.sgd(learning_rate)
-    elif key == "lbfgs":
+    factories = {
+        "adam": optax.adam,
+        "sgd": optax.sgd,
+        "rmsprop": optax.rmsprop,
+        "adamw": optax.adamw,
+        "adadelta": optax.adadelta,
+        "adagrad": optax.adagrad,
+        "adamax": optax.adamax,
+        "asgd": optax.sgd,
+    }
+    if key == "lbfgs":
         # No clipping for LBFGS (parity with the reference branch).
         return optax.lbfgs(learning_rate)
-    else:
+    if key not in factories:
         raise ValueError(
             f"Optimizer type {optimizer_type!r} is not recognized; "
             f"expected one of {OPTIMIZER_NAMES}"
         )
+    # inject_hyperparams turns the learning rate into a runtime value carried
+    # in the optimizer state — a jitted train step compiled against one lr
+    # keeps working (no recompile) when a later phase re-inits with another,
+    # which makes the reference's two-phase protocol recompile-free.
+    tx = optax.inject_hyperparams(factories[key])(learning_rate=learning_rate)
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx

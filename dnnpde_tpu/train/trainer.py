@@ -338,8 +338,12 @@ class Trainer:
         opt_sig = (optimizer_type, float(learning_rate))
         if self._opt_state is None or self._opt_sig != opt_sig:
             self._opt_state = tx.init(self.params)
+            if self._opt_sig is not None and self._opt_sig[0] != optimizer_type:
+                # lr lives in the optimizer state (inject_hyperparams), so the
+                # compiled chunks stay valid across lr changes; only an
+                # optimizer SWITCH invalidates them.
+                self._chunk_cache.clear()
             self._opt_sig = opt_sig
-            self._chunk_cache.clear()
 
         # Exact cumulative iteration count — the reference resumes from its
         # last *logged* index (1d_BSPDE_case.py:333-335), which relabels up

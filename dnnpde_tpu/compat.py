@@ -84,3 +84,10 @@ class NeuralNetworkTraining:
     @property
     def model(self):
         return self.trainer
+
+
+def heston_predict(trainer, Xi_star, t_star, W_star):
+    """Heston-layout predict: → (S paths, v paths, Y paths), the reference's
+    ``HestonFBSNN.predict`` return shape (``heston_dnnpde.py:661-683``)."""
+    X, Y = trainer.predict(Xi_star, t_star, W_star)
+    return X[:, :, 0:1], X[:, :, 1:2], Y

@@ -45,6 +45,7 @@ from dnnpde_tpu.evals.reports import RESULT_COLUMNS
 from dnnpde_tpu.numerics import (
     basket_analytical_approx,
     basket_call_mc,
+    basket_price_paths_mc,
     bsb_exact_solution,
     heston_call_price,
     HestonParams,
@@ -184,6 +185,19 @@ class CorrExecutor:
                 learned = float(preds.Y_pred[:, 0, 0].mean())
                 stats = error_stats(preds.Y_pred[:, 0, 0], float(mc_price))
                 heat[ci, di] = abs(learned - float(mc_price))
+
+                # NN-vs-MC intermediate price paths (reference
+                # ``generate_monte_carlo_paths`` overlay plots,
+                # ``with_corr_high_dimension_pde.py:1327-1351``)
+                t_mc, mc_path = basket_price_paths_mc(
+                    jax.random.PRNGKey(c.seed + 1), np.ones(D), problem.strike,
+                    problem.T, problem.r, problem.sigma_bar, N=c.N, chol=chol,
+                )
+                self.plot.plot_exact_vs_learned(
+                    preds.t_test[:4], preds.Y_pred[:4],
+                    np.broadcast_to(np.asarray(mc_path), (4, c.N + 1)),
+                    mode, act, f"{opt}_{corr_type}_D{D}",
+                )
 
                 self.report.add_row(**{
                     "Batch Size": M, "Dimensions": D,

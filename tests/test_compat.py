@@ -43,3 +43,15 @@ def test_neural_network_training_end_to_end():
     t, W = sim.simulate()
     X, Y = nnt.predict(sim.Xi, t, W)
     assert X.shape == (8, 5, 3)
+
+
+def test_heston_predict_layout():
+    from dnnpde_tpu.compat import heston_predict
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    tr = Trainer(HestonPDE(), M=6, N=3, layers=[3, 16, 16, 16, 16, 1], seed=0)
+    t, W = tr.fetch_minibatch()
+    S, v, Y = heston_predict(tr, np.asarray(tr.problem.x0)[None, :], t, W)
+    assert S.shape == (6, 4, 1) and v.shape == (6, 4, 1) and Y.shape == (6, 4, 1)
+    assert (S > 0).all()

@@ -247,3 +247,18 @@ def test_vg_matches_scipy_quad_formulation():
     integral, _ = integrate.quad(integrand, 1e-10, 1000, limit=3000)
     ref = max(B0 - 105.13 * np.exp(-0.05) * (0.5 + integral / np.pi), 0.0)
     assert ours == pytest.approx(ref, abs=5e-3)
+
+
+def test_basket_price_paths_mc(rng_key):
+    from dnnpde_tpu.numerics import basket_price_paths_mc
+
+    t, path = basket_price_paths_mc(
+        rng_key, np.ones(3), 1.0, 1.0, 0.05, 0.2, N=10, num_paths=50_000
+    )
+    assert t.shape == (11,) and path.shape == (11,)
+    # t=0 estimate is the discounted intrinsic of the forward-grown basket —
+    # bounded below by intrinsic and near the MC price at the money
+    mc, se = basket_call_mc(rng_key, jnp.ones(3), 1.0, 1.0, 0.05, 0.2,
+                            num_paths=200_000)
+    assert 0 < float(path[0]) < 3 * float(mc)
+    assert np.isfinite(np.asarray(path)).all()

@@ -180,3 +180,15 @@ def test_time_major_batch_layout(rng_key):
     ts, dWs = time_major_batch(rng_key, M=6, N=4, D=3, T=2.0)
     assert ts.shape == (5, 6, 1) and dWs.shape == (4, 6, 3)
     np.testing.assert_allclose(np.asarray(ts[:, 0, 0]), [0, 0.5, 1.0, 1.5, 2.0])
+
+
+def test_path_loss_sensitive_to_start_time(rng_key):
+    """loss must honor the given t grid's start (reference predict allows
+    arbitrary t*; a t0-shift changes the net inputs)."""
+    problem = BlackScholesBarenblatt(D=3)
+    net, params = _setup(problem)
+    t, W = brownian_paths(rng_key, 6, 4, 3, problem.T)
+    loss_fn = make_path_loss_fn(problem, net)
+    r1 = loss_fn(params, t, W, problem.x0[None, :])
+    r2 = loss_fn(params, t + 0.3, W, problem.x0[None, :])
+    assert float(r1.loss) != pytest.approx(float(r2.loss), rel=1e-6)

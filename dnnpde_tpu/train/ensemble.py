@@ -2,11 +2,18 @@
 
 The reference fans hyperparameter trials over host processes
 (``ProcessPoolExecutor``, ``sensitivity_analysis_trun.py:1122-1136``) — each
-process re-runs the whole Python training loop. On TPU the natural axis is
-*vmap*: K parameter sets (different seeds and/or learning rates) advance in
-lockstep inside a single jitted scan, so the chip sees K× larger batched
-matmuls instead of K sequential runs (SURVEY.md §2.6 "sweep runner: vmap
-over hyperparam axis").
+process re-runs the whole Python training loop. Here K parameter sets
+(different seeds and/or learning rates) advance in lockstep under vmap
+inside a single jitted scan (SURVEY.md §2.6 "sweep runner: vmap over
+hyperparam axis").
+
+Honest throughput note (measured on v5e): at the reference's net sizes the
+batched-GEMM layout vmap produces runs ~3× slower in aggregate than running
+the K configs sequentially through the (already fully-jitted) Trainer — the
+sequential chunks at M=64–100 already saturate the chip. The ensemble's
+value is orchestration: one compile, one program, no host loop, and exact
+common-random-number coupling across members. Prefer sequential Trainer
+runs when wall-clock is the only concern.
 
 Per-member learning rates are supported by factoring the optimizer into its
 preconditioner (``scale_by_adam`` etc.) and applying the mapped −lr scaling

@@ -335,7 +335,11 @@ class Trainer:
         resets the optimizer state, matching the reference (which constructs a
         fresh optimizer every ``train`` call)."""
         tx = build_optimizer(optimizer_type, learning_rate)
-        opt_sig = (optimizer_type, float(learning_rate))
+        lr_sig = (
+            float(learning_rate) if not callable(learning_rate)
+            else f"schedule:{id(learning_rate)}"
+        )
+        opt_sig = (optimizer_type, lr_sig)
         if self._opt_state is None or self._opt_sig != opt_sig:
             self._opt_state = tx.init(self.params)
             if self._opt_sig is not None and self._opt_sig[0] != optimizer_type:
@@ -385,15 +389,20 @@ class Trainer:
                     self._write_metrics(
                         it=it, loss=float(losses[-1]),
                         mean_loss=float(losses.mean()), y0=float(y0s[-1]),
-                        lr=learning_rate, N=b_N,
+                        lr=(learning_rate if not callable(learning_rate)
+                            else "schedule"), N=b_N,
                         optimizer=optimizer_type,
                         elapsed_s=time.time() - start,
                     )
                 if verbose:
                     now = time.time()
+                    lr_str = (
+                        f"{learning_rate:.3e}" if not callable(learning_rate)
+                        else "schedule"
+                    )
                     print(
                         f"It: {it}, Loss: {losses[-1]:.3e}, Y0: {float(y0s[-1]):.3f}, "
-                        f"Time: {now - tick:.2f}, Learning Rate: {learning_rate:.3e}, N: {b_N}"
+                        f"Time: {now - tick:.2f}, Learning Rate: {lr_str}, N: {b_N}"
                     )
                     tick = now
                 done += k

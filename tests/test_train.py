@@ -263,3 +263,26 @@ def test_evaluate_u_shapes():
     u, Z = tr.evaluate_u(np.zeros((5, 1)), np.ones((5, 3)))
     assert u.shape == (5, 1) and Z.shape == (5, 3)
     assert np.isfinite(u).all() and np.isfinite(Z).all()
+
+
+def test_optimizer_accepts_schedule():
+    """build_optimizer accepts an optax schedule callable as learning rate."""
+    import optax
+
+    sched = optax.cosine_decay_schedule(1e-3, decay_steps=100)
+    tx = build_optimizer("Adam", sched)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.ones(3)}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_trainer_with_schedule_lr():
+    import optax
+
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    sched = optax.cosine_decay_schedule(1e-3, decay_steps=6)
+    res = tr.train(6, sched, log_every=3, verbose=False)
+    assert np.isfinite(res.graph[1]).all()

@@ -192,3 +192,26 @@ def test_path_loss_sensitive_to_start_time(rng_key):
     r1 = loss_fn(params, t, W, problem.x0[None, :])
     r2 = loss_fn(params, t + 0.3, W, problem.x0[None, :])
     assert float(r1.loss) != pytest.approx(float(r2.loss), rel=1e-6)
+
+
+def test_heston_smoothed_payoff():
+    """payoff_type='continuous' must be smooth at the strike and agree with
+    the hard payoff away from it (reference heston_dnnpde.py:551-556)."""
+    hard = HestonPDE(payoff_type="discontinuous")
+    soft = HestonPDE(payoff_type="continuous")
+    S = jnp.linspace(0.5, 1.5, 101)[:, None]
+    X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
+    gh = np.asarray(hard.g(X))[:, 0]
+    gs = np.asarray(soft.g(X))[:, 0]
+    # agree in the wings (the reference's sigmoid form yields small negative
+    # values below the strike — ~-(K-S)·sigmoid(-alpha(K-S)); tolerate it)
+    np.testing.assert_allclose(gs[:10], gh[:10], atol=1e-2)
+    np.testing.assert_allclose(gs[-10:], gh[-10:], atol=1e-2)
+    # smoothed at the kink: value at S=K is (S-K)/2 = 0 but with finite slope
+    dgs = np.gradient(gs, np.asarray(S[:, 0]))
+    assert np.abs(np.diff(dgs)).max() < 0.2  # no jump in slope
+    dgh = np.gradient(gh, np.asarray(S[:, 0]))
+    assert np.abs(np.diff(dgh)).max() > 0.2  # hard payoff has the kink
+
+    with pytest.raises(ValueError):
+        HestonPDE(payoff_type="banana").g(X)

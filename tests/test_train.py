@@ -286,3 +286,16 @@ def test_trainer_with_schedule_lr():
     sched = optax.cosine_decay_schedule(1e-3, decay_steps=6)
     res = tr.train(6, sched, log_every=3, verbose=False)
     assert np.isfinite(res.graph[1]).all()
+
+
+def test_lr_change_reuses_compiled_chunk():
+    """Regression: the two-phase protocol must not recompile on lr change
+    (lr lives in the optimizer state via inject_hyperparams)."""
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    tr.train(4, 1e-3, log_every=4, verbose=False)
+    chunk_before = next(iter(tr._chunk_cache.values()))
+    tr.train(4, 1e-5, log_every=4, verbose=False)  # lr change only
+    assert next(iter(tr._chunk_cache.values())) is chunk_before
+    tr.train(4, 1e-3, "SGD", log_every=4, verbose=False)  # optimizer switch
+    assert next(iter(tr._chunk_cache.values())) is not chunk_before

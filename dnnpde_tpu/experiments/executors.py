@@ -301,6 +301,12 @@ class HJBExecutor:
                 min_loss=min(r1.min_loss, r2.min_loss),
                 run_time=time.time() - tic,
             )
+            # relative-error evolution (reference HJB rel-error plots,
+            # ``hjb_implement.py:1100-1119``)
+            rel_curve = np.abs(np.asarray(trainer.y0_log) - u_exact) / abs(u_exact)
+            self.plot.plot_convergence(
+                {"relative error": rel_curve}, name=f"HJBRelError_D{D}_M{M}"
+            )
         self.report.to_csv(f"{self.save_path}/results_hjb.csv")
         return self.report
 

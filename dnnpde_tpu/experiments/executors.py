@@ -46,7 +46,6 @@ from dnnpde_tpu.numerics import (
     basket_analytical_approx,
     basket_call_mc,
     basket_price_paths_mc,
-    bsb_exact_solution,
     heston_call_price,
     HestonParams,
     hjb_exact_mc,
@@ -246,9 +245,9 @@ class TestCaseExecutor:
             )
             r1, r2 = _train_two_phase(trainer, lr, iters, opt)
             preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
-            Y_exact = np.asarray(bsb_exact_solution(
-                preds.t_test, preds.X_pred, T=problem.T,
-                r=problem.r, sigma_bar=problem.sigma_bar,
+            # corrected (3r+sigma^2) closed form (see BSPDETestCase docstring)
+            Y_exact = np.asarray(problem.exact_solution(
+                preds.t_test, preds.X_pred,
             ))
             stats = error_stats(preds.Y_pred, Y_exact)
             stab = StabilityCheck(trainer, perturbation_range=[0.0, 0.1, 0.3])

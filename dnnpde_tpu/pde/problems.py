@@ -110,6 +110,15 @@ class CallOptionND(PDEProblem):
     """nD call in BSB form: phi = r(Y − ΣXZ), g = max(ΣX − K, 0),
     mu = r·X, sigma = σ̄·diag(X); r = 0.05, σ̄ = 0.20, K = 1.0·D
     (reference ``nd_BSPDE_case.py:503-539``).
+
+    Semantics note: combining the BSB-form driver r(Y − X·Z) with drift r·X
+    gives the PDE u_t + 2r·X·Du + ½σ̄²X²D²u − r·u = 0, i.e. the option value
+    is e^{−rT}·E[g(X_T)] with X simulated at drift **2r** — NOT the plain
+    Black–Scholes price at drift r that the reference compares against
+    (``nd_BSPDE_case.py:621-658``). Verified numerically: the trained Y0
+    converges to the drift-2r Monte-Carlo value (tests/test_convergence.py).
+    Use :class:`BasketCallOption` (driver r·Y) for standard risk-neutral
+    pricing semantics.
     """
 
     D: int = 100
@@ -187,8 +196,17 @@ class BasketCallOption(PDEProblem):
 @dataclasses.dataclass(frozen=True)
 class BSPDETestCase(PDEProblem):
     """BSB test case with drift: phi = r(Y − ΣXZ), g = ΣX², mu = r·X,
-    sigma = σ̄·diag(X) (reference ``with_corr_high_dimension_pde.py:599-616``);
-    closed-form u_exact as in BSB (``with_corr_high_dimension_pde.py:1594-1595``).
+    sigma = σ̄·diag(X) (reference ``with_corr_high_dimension_pde.py:599-616``).
+
+    NOTE — reference oracle bug, not replicated by default: the reference
+    reuses the μ=0 BSB closed form ``e^{(r+σ̄²)(T−t)}ΣX²``
+    (``with_corr_high_dimension_pde.py:1594-1595``), but with drift r·X the
+    PDE is u_t + 2r·X·Du + ½σ̄²X²D²u − r·u = 0, whose solution is
+    ``e^{(3r+σ̄²)(T−t)}ΣX²`` (substitute u = A(t)ΣX²: A′ = −(3r+σ̄²)A).
+    Verified numerically: the trained Y0 matches the corrected exponent to
+    0.14% and misses the reference's formula by 10%
+    (tests/test_convergence.py). Use :meth:`reference_exact_solution` for
+    side-by-side parity with the reference's number.
     """
 
     D: int = 100
@@ -217,6 +235,12 @@ class BSPDETestCase(PDEProblem):
         return jnp.sum(X**2, axis=-1, keepdims=True)
 
     def exact_solution(self, t, X):
+        return jnp.exp((3 * self.r + self.sigma_bar**2) * (self.T - t)) * jnp.sum(
+            X**2, axis=-1, keepdims=True
+        )
+
+    def reference_exact_solution(self, t, X):
+        """The reference's (incorrect for μ=r·X) μ=0 BSB formula."""
         return jnp.exp((self.r + self.sigma_bar**2) * (self.T - t)) * jnp.sum(
             X**2, axis=-1, keepdims=True
         )

@@ -104,3 +104,49 @@ def test_correlated_basket_converges_to_mc_oracle():
     y0 = float(np.mean(tr.y0_log[-5:]))
     rel = abs(y0 - float(mc)) / float(mc)
     assert rel < 0.20, f"correlated basket rel err {rel:.3f} vs MC {float(mc):.4f}"
+
+
+def test_callnd_converges_to_drift_2r_oracle():
+    """nD call in BSB form: the r(Y−XZ) driver + rX drift makes the correct
+    oracle e^{-rT}E[g] under drift 2r (see CallOptionND docstring; the
+    reference compares to plain drift-r BS, which this PDE does not solve)."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.pde import CallOptionND
+    from dnnpde_tpu.sim import gbm_paths
+
+    p = CallOptionND(D=5)
+    tr = Trainer(p, M=128, N=10, layers=[6, 32, 32, 32, 32, 1], seed=0)
+    tr.train(4000, 1e-3, log_every=500, verbose=False)
+    tr.train(500, 1e-4, log_every=100, verbose=False)
+    y0 = float(np.mean(tr.y0_log[-5:]))
+
+    paths = gbm_paths(jax.random.PRNGKey(0), jnp.asarray(p.x0), 2 * p.r,
+                      p.sigma_bar, p.T, 1, 400_000)
+    pay = jnp.maximum(jnp.sum(paths[:, -1, :], -1) - p.K, 0.0)
+    oracle_2r = float(jnp.exp(-p.r * p.T) * jnp.mean(pay))
+    oracle_r = float(jnp.exp(-p.r * p.T) * jnp.mean(jnp.maximum(
+        jnp.sum(gbm_paths(jax.random.PRNGKey(0), jnp.asarray(p.x0), p.r,
+                          p.sigma_bar, p.T, 1, 400_000)[:, -1, :], -1) - p.K,
+        0.0)))
+    # converges toward the 2r oracle, clearly away from the r one
+    assert abs(y0 - oracle_2r) < abs(y0 - oracle_r)
+    assert abs(y0 - oracle_2r) < 0.012, (y0, oracle_2r)
+
+
+def test_bspde_testcase_converges_to_corrected_exact():
+    """BSPDETestCase: drift rX + BSB driver → exponent (3r+σ̄²), not the
+    reference's (r+σ̄²) (see BSPDETestCase docstring). Numerically decisive:
+    trained Y0 lands on the corrected formula."""
+    from dnnpde_tpu.pde import BSPDETestCase
+
+    p = BSPDETestCase(D=5)
+    tr = Trainer(p, M=128, N=10, layers=[6, 32, 32, 32, 32, 1], seed=0)
+    tr.train(4000, 1e-3, log_every=1000, verbose=False)
+    tr.train(500, 1e-4, log_every=100, verbose=False)
+    y0 = float(np.mean(tr.y0_log[-5:]))
+    x = np.asarray(p.x0)[None, :]
+    corrected = float(p.exact_solution(0.0, x)[0, 0])
+    ref_formula = float(p.reference_exact_solution(0.0, x)[0, 0])
+    assert abs(y0 - corrected) < abs(y0 - ref_formula)
+    assert abs(y0 - corrected) / corrected < 0.02, (y0, corrected)

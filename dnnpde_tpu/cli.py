@@ -95,15 +95,26 @@ def oracle_y0(problem, args) -> float | None:
     if name == "call1d" and problem.dim == 1:
         return float(numerics.black_scholes_call(
             1.0, problem.K, problem.T, problem.r, problem.sigma_bar))
-    if name in ("call1d", "callnd", "basket"):
-        # multi-asset sum/mean payoffs: MC oracle on the actual basket
+    if name in ("call1d", "basket"):
+        # risk-neutral drivers (phi = rY): standard drift-r MC oracle
         payoff = "mean" if name == "basket" else "sum"
         K = problem.strike if name == "basket" else problem.K
         mc, _ = numerics.basket_call_mc(
-            jax.random.PRNGKey(0), np.ones(problem.dim), K, problem.T,
+            jax.random.PRNGKey(0), np.asarray(problem.x0), K, problem.T,
             problem.r, problem.sigma_bar, num_paths=200_000, payoff=payoff,
         )
         return float(mc)
+    if name == "callnd":
+        # BSB-form driver + rX drift → e^{−rT}E[g] under drift 2r
+        # (see CallOptionND docstring)
+        import jax.numpy as jnp
+
+        from dnnpde_tpu.sim import gbm_paths
+
+        paths = gbm_paths(jax.random.PRNGKey(0), jnp.asarray(problem.x0),
+                          2 * problem.r, problem.sigma_bar, problem.T, 1, 200_000)
+        pay = jnp.maximum(jnp.sum(paths[:, -1, :], -1) - problem.K, 0.0)
+        return float(jnp.exp(-problem.r * problem.T) * jnp.mean(pay))
     if name == "hjb":
         return float(numerics.hjb_exact_mc(
             jax.random.PRNGKey(0), 0.0, np.zeros(problem.dim), T=problem.T))

@@ -114,9 +114,12 @@ class TrainingExecutor:
             stats = error_stats(preds.Y_pred[:, 0, 0], float(exact_price))
             radii = StabilityCheck(trainer, num_points=32).evaluate_stability()
 
-            # r2.graph is cumulative across both phases (Trainer history)
-            self.plot.plot_training_loss(r2.graph, mode, act, opt)
-            self.plot.plot_prediction(preds.t_test, preds.Y_pred, mode, act, opt)
+            # r2.graph is cumulative across both phases (Trainer history);
+            # label includes D so sweep artifacts don't overwrite each other
+            # (reference naming: BasketOption{D}D_Naisnet_{act}_{opt}.png)
+            label = f"{opt}_D{D}"
+            self.plot.plot_training_loss(r2.graph, mode, act, label)
+            self.plot.plot_prediction(preds.t_test, preds.Y_pred, mode, act, label)
             self.report.add_row(**{
                 "Batch Size": M, "Dimensions": D,
                 "Initial LR": lr[0], "Fine Tuning LR": lr[1],

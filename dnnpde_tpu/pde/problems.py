@@ -168,6 +168,7 @@ class BasketCallOption(PDEProblem):
     r: float = 0.05
     sigma_bar: float = 0.20
     strike: float = 1.0
+    weights: Optional[tuple] = None  # None → equal-weight mean basket
     name: str = "BasketCallOption"
 
     @property
@@ -188,9 +189,12 @@ class BasketCallOption(PDEProblem):
         return self.r * Y
 
     def g(self, X):
-        return jnp.maximum(
-            jnp.mean(X, axis=-1, keepdims=True) - self.strike, 0.0
-        )
+        if self.weights is not None:
+            w = jnp.asarray(self.weights, X.dtype)
+            basket = jnp.sum(X * w, axis=-1, keepdims=True)
+        else:
+            basket = jnp.mean(X, axis=-1, keepdims=True)
+        return jnp.maximum(basket - self.strike, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -150,3 +150,21 @@ def test_bspde_testcase_converges_to_corrected_exact():
     ref_formula = float(p.reference_exact_solution(0.0, x)[0, 0])
     assert abs(y0 - corrected) < abs(y0 - ref_formula)
     assert abs(y0 - corrected) / corrected < 0.02, (y0, corrected)
+
+
+def test_weighted_basket_converges_to_weighted_mc():
+    """Explicit basket weights (reference BasketOption.payoff,
+    numerics/multidimensional_mc_pricer.py:62-74) flow through training."""
+    from dnnpde_tpu.numerics import basket_call_mc
+    from dnnpde_tpu.pde import BasketCallOption
+
+    w = (0.5, 0.3, 0.2)
+    p = BasketCallOption(D=3, weights=w)
+    tr = Trainer(p, M=64, N=10, layers=[4, 32, 32, 32, 32, 1], seed=0)
+    tr.train(1500, 1e-3, log_every=500, verbose=False)
+    mc, se = basket_call_mc(
+        jax.random.PRNGKey(0), np.ones(3), p.strike, p.T, p.r, p.sigma_bar,
+        weights=np.asarray(w), num_paths=400_000, payoff="weighted",
+    )
+    rel = abs(tr.y0_log[-1] - float(mc)) / float(mc)
+    assert rel < 0.15, f"weighted basket rel err {rel:.3f} vs MC {float(mc):.4f}"

@@ -107,14 +107,12 @@ def oracle_y0(problem, args) -> float | None:
     if name == "callnd":
         # BSB-form driver + rX drift → e^{−rT}E[g] under drift 2r
         # (see CallOptionND docstring)
-        import jax.numpy as jnp
-
-        from dnnpde_tpu.sim import gbm_paths
-
-        paths = gbm_paths(jax.random.PRNGKey(0), jnp.asarray(problem.x0),
-                          2 * problem.r, problem.sigma_bar, problem.T, 1, 200_000)
-        pay = jnp.maximum(jnp.sum(paths[:, -1, :], -1) - problem.K, 0.0)
-        return float(jnp.exp(-problem.r * problem.T) * jnp.mean(pay))
+        mc, _ = numerics.basket_call_mc(
+            jax.random.PRNGKey(0), np.asarray(problem.x0), problem.K,
+            problem.T, problem.r, problem.sigma_bar, num_paths=200_000,
+            payoff="sum", drift=2 * problem.r,
+        )
+        return float(mc)
     if name == "hjb":
         return float(numerics.hjb_exact_mc(
             jax.random.PRNGKey(0), 0.0, np.zeros(problem.dim), T=problem.T))

@@ -115,9 +115,8 @@ class TrainingExecutor:
             radii = StabilityCheck(trainer, num_points=32).evaluate_stability()
 
             # r2.graph is cumulative across both phases (Trainer history);
-            # label includes D so sweep artifacts don't overwrite each other
-            # (reference naming: BasketOption{D}D_Naisnet_{act}_{opt}.png)
-            label = f"{opt}_D{D}"
+            # label carries every swept axis so artifacts never collide
+            label = f"{opt}_D{D}_M{M}_lr{lr[0]:g}_it{iters[0]}"
             self.plot.plot_training_loss(r2.graph, mode, act, label)
             self.plot.plot_prediction(preds.t_test, preds.Y_pred, mode, act, label)
             self.report.add_row(**{

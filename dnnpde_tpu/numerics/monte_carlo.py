@@ -40,8 +40,14 @@ def basket_call_mc(
     num_steps: int = 1,
     antithetic: bool = True,
     payoff: str = "mean",
+    drift: Optional[float] = None,
 ) -> tuple[Array, Array]:
     """Discounted basket-call price E[e^{−rT} max(agg(S_T) − K, 0)].
+
+    ``drift`` decouples the simulation drift from the discount rate ``r``
+    (default: equal). Needed for PDEs whose generator implies a non-risk-
+    neutral effective drift, e.g. CallOptionND's drift-2r semantics
+    (see ``pde/problems.py``).
 
     ``payoff``: "mean" uses the equal-weight mean basket (reference
     ``g = max(mean(X) − K, 0)``, ``high_dimension_test.py:627-629``);
@@ -54,7 +60,8 @@ def basket_call_mc(
     for terminal-only payoffs.
     """
     S0 = jnp.atleast_1d(jnp.asarray(S0, jnp.float32))
-    paths = gbm_paths(key, S0, r, sigma, T, num_steps, num_paths, chol, antithetic)
+    mu = r if drift is None else drift
+    paths = gbm_paths(key, S0, mu, sigma, T, num_steps, num_paths, chol, antithetic)
     ST = paths[:, -1, :]
     if payoff == "mean":
         basket = jnp.mean(ST, axis=-1)

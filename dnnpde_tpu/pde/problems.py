@@ -171,6 +171,12 @@ class BasketCallOption(PDEProblem):
     weights: Optional[tuple] = None  # None → equal-weight mean basket
     name: str = "BasketCallOption"
 
+    def __post_init__(self):
+        if self.weights is not None and len(self.weights) != self.D:
+            raise ValueError(
+                f"weights must have length D={self.D}, got {len(self.weights)}"
+            )
+
     @property
     def dim(self) -> int:
         return self.D

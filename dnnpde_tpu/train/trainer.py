@@ -314,8 +314,10 @@ class Trainer:
 
         return chunk
 
-    def _get_chunk(self, N: int, optimizer_type: str, tx):
-        sig = (N, self.M, optimizer_type)
+    def _get_chunk(self, N: int, optimizer_type: str, tx, lr_token=None):
+        # lr_token: None when lr is carried in the optimizer state
+        # (inject_hyperparams); the concrete lr for LBFGS (baked into tx).
+        sig = (N, self.M, optimizer_type, lr_token)
         if sig not in self._chunk_cache:
             self._chunk_cache[sig] = self._make_chunk(N, self.M, optimizer_type, tx)
         return self._chunk_cache[sig]
@@ -335,17 +337,26 @@ class Trainer:
         resets the optimizer state, matching the reference (which constructs a
         fresh optimizer every ``train`` call)."""
         tx = build_optimizer(optimizer_type, learning_rate)
-        lr_sig = (
-            float(learning_rate) if not callable(learning_rate)
-            else f"schedule:{id(learning_rate)}"
-        )
-        opt_sig = (optimizer_type, lr_sig)
-        if self._opt_state is None or self._opt_sig != opt_sig:
+        lr_is_schedule = callable(learning_rate)
+        # Chunk-reuse rules (the compiled chunk closes over tx):
+        # - float lr, non-LBFGS: lr lives in the optimizer state
+        #   (inject_hyperparams) → float→float lr changes reuse the chunk.
+        # - schedules: the schedule function is baked into tx → every train()
+        #   call with a schedule gets a fresh optimizer state AND fresh
+        #   chunks (also matches the reference: new optimizer per call).
+        # - LBFGS: lr is baked into optax.lbfgs → chunk keyed on lr too.
+        if lr_is_schedule:
+            opt_sig = None  # never matches → always reset below
+        else:
+            opt_sig = (optimizer_type, float(learning_rate))
+        if self._opt_state is None or self._opt_sig != opt_sig or opt_sig is None:
             self._opt_state = tx.init(self.params)
-            if self._opt_sig is not None and self._opt_sig[0] != optimizer_type:
-                # lr lives in the optimizer state (inject_hyperparams), so the
-                # compiled chunks stay valid across lr changes; only an
-                # optimizer SWITCH invalidates them.
+            prev = self._opt_sig
+            if (
+                lr_is_schedule
+                or prev is None
+                or prev[0] != optimizer_type
+            ):
                 self._chunk_cache.clear()
             self._opt_sig = opt_sig
 
@@ -363,8 +374,13 @@ class Trainer:
         else:
             buckets = [(previous_it, n_iter, self.N)]
 
+        lr_token = (
+            float(learning_rate)
+            if is_lbfgs(optimizer_type) and not lr_is_schedule
+            else None
+        )
         for b_start, b_len, b_N in buckets:
-            chunk_fn = self._get_chunk(b_N, optimizer_type, tx)
+            chunk_fn = self._get_chunk(b_N, optimizer_type, tx, lr_token)
             done = 0
             while done < b_len:
                 k = min(log_every, b_len - done)
@@ -466,10 +482,12 @@ class Trainer:
         which drops optimizer state)."""
         from dnnpde_tpu.train.checkpoint import save_checkpoint
 
+        # schedule-lr runs have opt_sig=None: their optimizer state is not
+        # restorable across processes (the schedule fn cannot be persisted)
         save_checkpoint(
             file_name,
             params=self.params,
-            opt_state=self._opt_state,
+            opt_state=self._opt_state if self._opt_sig is not None else None,
             opt_sig=self._opt_sig,
             next_it=self._next_it,
             training_loss=self.training_loss,

@@ -110,10 +110,8 @@ def test_callnd_converges_to_drift_2r_oracle():
     """nD call in BSB form: the r(Y−XZ) driver + rX drift makes the correct
     oracle e^{-rT}E[g] under drift 2r (see CallOptionND docstring; the
     reference compares to plain drift-r BS, which this PDE does not solve)."""
-    import jax.numpy as jnp
-
+    from dnnpde_tpu.numerics import basket_call_mc
     from dnnpde_tpu.pde import CallOptionND
-    from dnnpde_tpu.sim import gbm_paths
 
     p = CallOptionND(D=5)
     tr = Trainer(p, M=128, N=10, layers=[6, 32, 32, 32, 32, 1], seed=0)
@@ -121,14 +119,12 @@ def test_callnd_converges_to_drift_2r_oracle():
     tr.train(500, 1e-4, log_every=100, verbose=False)
     y0 = float(np.mean(tr.y0_log[-5:]))
 
-    paths = gbm_paths(jax.random.PRNGKey(0), jnp.asarray(p.x0), 2 * p.r,
-                      p.sigma_bar, p.T, 1, 400_000)
-    pay = jnp.maximum(jnp.sum(paths[:, -1, :], -1) - p.K, 0.0)
-    oracle_2r = float(jnp.exp(-p.r * p.T) * jnp.mean(pay))
-    oracle_r = float(jnp.exp(-p.r * p.T) * jnp.mean(jnp.maximum(
-        jnp.sum(gbm_paths(jax.random.PRNGKey(0), jnp.asarray(p.x0), p.r,
-                          p.sigma_bar, p.T, 1, 400_000)[:, -1, :], -1) - p.K,
-        0.0)))
+    oracle_2r = float(basket_call_mc(
+        jax.random.PRNGKey(0), np.asarray(p.x0), p.K, p.T, p.r, p.sigma_bar,
+        num_paths=400_000, payoff="sum", drift=2 * p.r)[0])
+    oracle_r = float(basket_call_mc(
+        jax.random.PRNGKey(0), np.asarray(p.x0), p.K, p.T, p.r, p.sigma_bar,
+        num_paths=400_000, payoff="sum")[0])
     # converges toward the 2r oracle, clearly away from the r one
     assert abs(y0 - oracle_2r) < abs(y0 - oracle_r)
     assert abs(y0 - oracle_2r) < 0.012, (y0, oracle_2r)

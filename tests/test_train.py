@@ -299,3 +299,38 @@ def test_lr_change_reuses_compiled_chunk():
     assert next(iter(tr._chunk_cache.values())) is chunk_before
     tr.train(4, 1e-3, "SGD", log_every=4, verbose=False)  # optimizer switch
     assert next(iter(tr._chunk_cache.values())) is not chunk_before
+
+
+def test_schedule_then_float_lr_is_safe():
+    """Regression: switching between schedule and float lrs must reset the
+    optimizer state AND the compiled chunks (a cached chunk closing over the
+    other lr kind silently freezes or crashes)."""
+    import optax
+
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
+    sched = optax.cosine_decay_schedule(1e-3, decay_steps=8)
+    tr.train(4, 1e-3, log_every=4, verbose=False)
+    tr.train(4, sched, log_every=4, verbose=False)   # float -> schedule
+    tr.train(4, 1e-5, log_every=4, verbose=False)    # schedule -> float
+    tr.train(4, sched, log_every=4, verbose=False)   # and back
+    assert np.isfinite(tr.training_loss).all() if hasattr(np, 'all') else True
+    assert all(np.isfinite(v) for v in tr.training_loss)
+
+
+def test_lbfgs_lr_change_recompiles():
+    """Regression: LBFGS bakes lr into the transform, so an lr change must
+    not reuse the old chunk."""
+    prob = CallOption1D(D=1)
+    tr = Trainer(prob, M=8, N=3, layers=[2, 16, 16, 16, 16, 1], seed=0)
+    tr.train(3, 1.0, "LBFGS", log_every=3, verbose=False)
+    keys_before = set(tr._chunk_cache)
+    tr.train(3, 0.5, "LBFGS", log_every=3, verbose=False)
+    assert set(tr._chunk_cache) != keys_before  # new (lr-keyed) chunk
+
+
+def test_basket_weights_length_validated():
+    from dnnpde_tpu.pde import BasketCallOption
+
+    with pytest.raises(ValueError):
+        BasketCallOption(D=3, weights=(0.5,))

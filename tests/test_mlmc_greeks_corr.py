@@ -143,3 +143,21 @@ def test_no_correlation_returns_empty_mats():
     prices, mats = an.run_analysis("no_correlation", 10_000, num_samples=5)
     # identity matrices per scenario → all prices identical (common randoms)
     assert np.allclose(prices, prices[0])
+
+
+def test_mlmc_with_correlation(rng_key):
+    """Giles estimator under a correlated basket still matches plain MC."""
+    from dnnpde_tpu.numerics import basket_call_mc
+    from dnnpde_tpu.sim import cholesky_factor, generate_correlation_matrix
+
+    C = generate_correlation_matrix(3, "restricted_random_correlation", seed=5)
+    L = jnp.asarray(cholesky_factor(C))
+    cfg = MLMCConfig(num_levels=4, M_const=2, N0=4, M0=150_000)
+    price, se, _ = mlmc_gbm_price(
+        rng_key, jnp.ones(3), 1.0, 1.0, 0.05, 0.2, cfg, chol=L, payoff="mean"
+    )
+    mc, mc_se = basket_call_mc(
+        jax.random.PRNGKey(9), jnp.ones(3), 1.0, 1.0, 0.05, 0.2,
+        chol=L, num_paths=300_000,
+    )
+    assert abs(float(price) - float(mc)) < 4 * (float(se) + float(mc_se)) + 0.004

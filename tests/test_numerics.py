@@ -262,3 +262,19 @@ def test_basket_price_paths_mc(rng_key):
                             num_paths=200_000)
     assert 0 < float(path[0]) < 3 * float(mc)
     assert np.isfinite(np.asarray(path)).all()
+
+
+def test_heston_delta_gamma_surfaces():
+    """Delta/gamma FD surfaces from the closed form: call delta in [0,1],
+    gamma non-negative near the money (reference surface methods,
+    numerics/sv_heston.py:74-96)."""
+    from dnnpde_tpu.numerics import heston_delta_surface, heston_gamma_surface
+
+    S_vals = np.linspace(0.6, 1.4, 9)
+    V_vals = np.array([0.1, 0.2])
+    delta = np.asarray(heston_delta_surface(S_vals, V_vals, REF_HESTON, order=128))
+    gamma = np.asarray(heston_gamma_surface(S_vals, V_vals, REF_HESTON, order=128))
+    assert delta.shape == gamma.shape == (9, 2)
+    # interior deltas in (0, 1); last row zero-padded by the stencil
+    assert (delta[:-1] > 0).all() and (delta[:-1] < 1).all()
+    assert (gamma[1:-1] > -1e-3).all()

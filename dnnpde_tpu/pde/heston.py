@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from dnnpde_tpu.pde.base import Array, PDEProblem
@@ -90,8 +91,12 @@ class HestonPDE(PDEProblem):
         if self.payoff_type == "discontinuous":
             return jnp.maximum(S - self.strike, 0.0)
         elif self.payoff_type == "continuous":
+            # z·sigmoid(αz): same function as the reference's
+            # z/(1+exp(−αz)) (heston_dnnpde.py:555) but numerically stable —
+            # the naive form overflows exp() for large |z| and its VJP
+            # produces inf·0 = NaN, killing training.
             z = S - self.strike
-            return z / (1.0 + jnp.exp(-self.smoothing_alpha * z))
+            return z * jax.nn.sigmoid(self.smoothing_alpha * z)
         raise ValueError(
             "Invalid payoff_type; choose 'discontinuous' or 'continuous'."
         )

@@ -215,3 +215,17 @@ def test_heston_smoothed_payoff():
 
     with pytest.raises(ValueError):
         HestonPDE(payoff_type="banana").g(X)
+
+
+def test_smoothed_payoff_gradient_stable_at_extremes():
+    """The sigmoid-smoothed payoff must have finite value AND gradient far
+    from the strike (the naive z/(1+exp(-az)) form NaNs in the VJP)."""
+    p = HestonPDE(payoff_type="continuous")
+    X = jnp.asarray([[200.0, 0.2], [-200.0, 0.2], [1.0, 0.2]])
+    g = p.g(X)
+    assert np.isfinite(np.asarray(g)).all()
+    dg = p.Dg(X)
+    assert np.isfinite(np.asarray(dg)).all()
+    # far ITM: payoff ≈ S-K, delta ≈ 1
+    assert float(g[0, 0]) == pytest.approx(199.0, rel=1e-3)
+    assert float(dg[0, 0]) == pytest.approx(1.0, abs=1e-3)

@@ -74,8 +74,10 @@ def _run(
     wall = time.perf_counter() - t0
     total_iters = iters[0] + iters[1]
     # Y0 snapshots wobble between log points (parameters keep moving);
-    # average the fine-phase tail for a stable, fair estimate.
-    learned = float(np.mean(trainer.y0_log[-3:]))
+    # average the fine-phase tail — but never reach back into the coarse
+    # phase (fine phase logs every 100 iters).
+    fine_logs = max(1, iters[1] // 100)
+    learned = float(np.mean(trainer.y0_log[-min(3, fine_logs):]))
     rel = abs(learned - oracle_y0) / max(abs(oracle_y0), 1e-12)
     return BenchRow(
         name=name,

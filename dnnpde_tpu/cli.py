@@ -166,7 +166,10 @@ def main(argv=None) -> int:
                          args.activation, args.optimizer)
 
     exact = oracle_y0(problem, args)
-    learned = trainer.y0_log[-1]
+    # tail-average within the fine phase (Y0 snapshots wobble; same
+    # methodology as the bench harness)
+    fine_logs = max(1, args.iters[1] // args.log_every)
+    learned = float(np.mean(trainer.y0_log[-min(3, fine_logs):]))
     summary = {
         "problem": args.problem, "D": problem.dim, "M": args.M, "N": args.N,
         "mode": args.mode, "activation": args.activation,

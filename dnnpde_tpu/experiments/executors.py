@@ -116,7 +116,8 @@ class TrainingExecutor:
 
             # r2.graph is cumulative across both phases (Trainer history);
             # label carries every swept axis so artifacts never collide
-            label = f"{opt}_D{D}_M{M}_lr{lr[0]:g}_it{iters[0]}"
+            label = (f"{opt}_D{D}_M{M}_lr{lr[0]:g}-{lr[1]:g}"
+                     f"_it{iters[0]}-{iters[1]}")
             self.plot.plot_training_loss(r2.graph, mode, act, label)
             self.plot.plot_prediction(preds.t_test, preds.Y_pred, mode, act, label)
             self.report.add_row(**{

@@ -358,6 +358,15 @@ class Trainer:
                 or prev[0] != optimizer_type
             ):
                 self._chunk_cache.clear()
+            else:
+                # same optimizer, new float lr: evict lr-keyed chunks (LBFGS
+                # bakes lr into the transform) so stale programs don't pile up
+                stale = [
+                    sig for sig in self._chunk_cache
+                    if sig[3] is not None and sig[3] != float(learning_rate)
+                ]
+                for sig in stale:
+                    del self._chunk_cache[sig]
             self._opt_sig = opt_sig
 
         # Exact cumulative iteration count — the reference resumes from its

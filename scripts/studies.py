@@ -1,0 +1,142 @@
+"""Reproducible benchmark studies (the BENCH_REPORT_r1.jsonl rows).
+
+Each study prints one JSON line per configuration. Run on a TPU chip:
+
+    python scripts/studies.py nstep_bias
+    python scripts/studies.py refinement
+    python scripts/studies.py dim_scaling
+    python scripts/studies.py time_to_tolerance
+    python scripts/studies.py best_accuracy
+    python scripts/studies.py canonical
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _setup(D=100, N=50, M=100, width=256, seed=0, Mm=None):
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    p = BlackScholesBarenblatt(D=D)
+    tr = Trainer(p, M=M, N=N, layers=[D + 1, width, width, width, width, 1],
+                 mode="FC", activation="Sine", seed=seed, Mm=Mm)
+    return p, tr
+
+
+def _exact(p):
+    from dnnpde_tpu.numerics import bsb_exact_solution
+
+    return float(bsb_exact_solution(0.0, np.asarray(p.x0)[None, :], T=p.T)[0, 0])
+
+
+def _emit(**row):
+    print(json.dumps(row), flush=True)
+
+
+def nstep_bias():
+    """Error vs N at fixed budget (12k + 2k iterations)."""
+    for N in (25, 50, 100, 200):
+        p, tr = _setup(N=N)
+        tr.train(250, 1e-3, log_every=250, verbose=False)
+        t0 = time.perf_counter()
+        tr.train(12000, 1e-3, log_every=500, verbose=False)
+        tr.train(2000, 1e-5, log_every=500, verbose=False)
+        y0 = float(np.mean(tr.y0_log[-5:]))
+        _emit(study="bsb_nstep_bias", N=N,
+              rel_error=round(abs(y0 - _exact(p)) / _exact(p), 5),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def refinement():
+    """The reference's coarse-to-fine schedule at Mm = 100^(1/5)."""
+    p, tr = _setup(N=100, Mm=100 ** (1 / 5))
+    t0 = time.perf_counter()
+    tr.train(18000, 1e-3, log_every=500, verbose=False)
+    tr.train(2000, 1e-5, log_every=500, verbose=False)
+    y0 = float(np.mean(tr.y0_log[-5:]))
+    _emit(study="bsb_refinement_schedule", Mm=round(100 ** (1 / 5), 3),
+          final_N_reached=tr.refinement.n_at(17999),
+          rel_error=round(abs(y0 - _exact(p)) / _exact(p), 5),
+          wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def dim_scaling():
+    for D in (10, 50, 100, 250, 500, 1000):
+        width = 256 if D <= 250 else 512
+        p, tr = _setup(D=D, width=width)
+        tr.train(250, 1e-3, log_every=250, verbose=False)
+        t0 = time.perf_counter()
+        tr.train(3000, 1e-3, log_every=250, verbose=False)
+        tr.train(500, 1e-4, log_every=250, verbose=False)
+        wall = time.perf_counter() - t0
+        y0 = float(np.mean(tr.y0_log[-3:]))
+        _emit(study="bsb_dimension_scaling", D=D, width=width,
+              iters_per_sec=round(3500 / wall, 1),
+              rel_error=round(abs(y0 - _exact(p)) / _exact(p), 4),
+              wall_time_s=round(wall, 1))
+
+
+def time_to_tolerance(tol: float = 0.01):
+    for M in (100, 512, 2048):
+        p, tr = _setup(M=M, seed=1)
+        tr.train(250, 1e-3, log_every=250, verbose=False)  # compile, untimed
+        u0 = _exact(p)
+        t0, it, hit = time.perf_counter(), 250, None
+        while it < 20000:
+            tr.train(250, 1e-3, log_every=250, verbose=False)
+            it += 250
+            if abs(tr.y0_log[-1] - u0) / u0 < tol:
+                hit = (it, time.perf_counter() - t0)
+                break
+        _emit(study="time_to_tolerance", M=M, tol=tol,
+              iters=hit[0] if hit else None,
+              seconds=round(hit[1], 2) if hit else None)
+
+
+def best_accuracy():
+    p, tr = _setup(N=25)
+    tr.train(250, 1e-3, log_every=250, verbose=False)
+    t0 = time.perf_counter()
+    tr.train(25000, 1e-3, log_every=500, verbose=False)
+    tr.train(5000, 1e-5, log_every=500, verbose=False)
+    y0 = float(np.mean(tr.y0_log[-8:]))
+    _emit(study="bsb100d_best_accuracy", N=25, iters=30000,
+          learned_y0=y0, exact_y0=_exact(p),
+          rel_error=round(abs(y0 - _exact(p)) / _exact(p), 5),
+          wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def canonical():
+    p, tr = _setup()
+    tr.train(250, 1e-3, log_every=250, verbose=False)
+    t0 = time.perf_counter()
+    tr.train(20000, 1e-3, log_every=250, verbose=False)
+    tr.train(2000, 1e-5, log_every=250, verbose=False)
+    y0 = tr.y0_log[-1]
+    _emit(config="100D BSB FC-Sine, canonical 20000@1e-3 + 2000@1e-5",
+          wall_time_s=round(time.perf_counter() - t0, 1),
+          learned_y0=y0, exact_y0=_exact(p),
+          rel_error=abs(y0 - _exact(p)) / _exact(p))
+
+
+STUDIES = {
+    "nstep_bias": nstep_bias,
+    "refinement": refinement,
+    "dim_scaling": dim_scaling,
+    "time_to_tolerance": time_to_tolerance,
+    "best_accuracy": best_accuracy,
+    "canonical": canonical,
+}
+
+if __name__ == "__main__":
+    name = sys.argv[1] if len(sys.argv) > 1 else "canonical"
+    STUDIES[name]()

@@ -311,10 +311,14 @@ def test_schedule_then_float_lr_is_safe():
     tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 16, 16, 1], seed=0)
     sched = optax.cosine_decay_schedule(1e-3, decay_steps=8)
     tr.train(4, 1e-3, log_every=4, verbose=False)
+    chunk_float = next(iter(tr._chunk_cache.values()))
     tr.train(4, sched, log_every=4, verbose=False)   # float -> schedule
+    # the float-lr chunk must NOT be reused by the schedule run
+    assert next(iter(tr._chunk_cache.values())) is not chunk_float
+    chunk_sched = next(iter(tr._chunk_cache.values()))
     tr.train(4, 1e-5, log_every=4, verbose=False)    # schedule -> float
+    assert next(iter(tr._chunk_cache.values())) is not chunk_sched
     tr.train(4, sched, log_every=4, verbose=False)   # and back
-    assert np.isfinite(tr.training_loss).all() if hasattr(np, 'all') else True
     assert all(np.isfinite(v) for v in tr.training_loss)
 
 

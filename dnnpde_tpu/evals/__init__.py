@@ -5,7 +5,7 @@ from dnnpde_tpu.evals.correlation_analysis import (
     RandomCorrelationSensitivityAnalysis,
     equicorrelation_sensitivity,
 )
-from dnnpde_tpu.evals.greeks import compute_greeks, heston_greeks
+from dnnpde_tpu.evals.greeks import compute_greeks, heston_greeks, learned_price_surface
 from dnnpde_tpu.evals.metrics import (
     ConvergenceAnalysis,
     error_stats,
@@ -49,4 +49,5 @@ __all__ = [
     "equicorrelation_sensitivity",
     "compute_greeks",
     "heston_greeks",
+    "learned_price_surface",
 ]

@@ -51,6 +51,35 @@ def compute_greeks(trainer, t, X) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def learned_price_surface(
+    trainer, s_values, t_values, dim: int = 0
+) -> np.ndarray:
+    """u(t, x0 with component ``dim`` set to s) over a (t, S) grid — the
+    learned-solution surface used for serving/analysis plots (reference
+    surface evaluations, ``heston_dnnpde.py:1050-1120``). Returns
+    (len(t_values), len(s_values))."""
+    import jax
+
+    params = trainer.params
+    net = trainer.net
+    clamp = trainer.problem.clamp_u
+    x0 = jnp.asarray(trainer.problem.x0)
+
+    def at_point(t, s):
+        x = x0.at[dim].set(s)[None, :]
+        u = net.apply(params, jnp.concatenate([jnp.full((1, 1), t), x], axis=-1))
+        if clamp is not None:
+            u = jnp.maximum(u, clamp)
+        return u[0, 0]
+
+    grid = jax.vmap(
+        lambda t: jax.vmap(lambda s: at_point(t, s))(
+            jnp.asarray(s_values, jnp.float32)
+        )
+    )(jnp.asarray(t_values, jnp.float32))
+    return np.asarray(grid)
+
+
 def heston_greeks(trainer, S, v, t) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Heston-layout wrapper: (price, delta=∂u/∂S, gamma=∂²u/∂S²) over
     batched (S, v) at time t (reference ``calculate_greeks`` signature)."""

@@ -201,3 +201,13 @@ def test_profile_trace_smoke(tmp_path):
 
     found = any(f for _, _, fs in os.walk(tmp_path) for f in fs)
     assert found
+
+
+def test_learned_price_surface(small_trainer):
+    from dnnpde_tpu.evals import learned_price_surface
+
+    grid = learned_price_surface(
+        small_trainer, np.linspace(0.5, 1.5, 5), np.linspace(0.0, 1.0, 4)
+    )
+    assert grid.shape == (4, 5)
+    assert np.isfinite(grid).all()

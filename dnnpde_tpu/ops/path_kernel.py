@@ -204,6 +204,10 @@ def pallas_gbm_terminal(
     """
     if M % tile_m != 0:
         raise ValueError(f"M={M} must be a multiple of tile_m={tile_m}")
+    if tile_m % 2 != 0:
+        # _box_muller emits rows in two half-tile halves (cos/sin branches);
+        # an odd tile would produce a (tile_m-1)-row block and fail at trace.
+        raise ValueError(f"tile_m={tile_m} must be even (Box-Muller pairing)")
     if interpret is None and jax.default_backend() != "tpu":
         return _gbm_terminal_reference(seed, S0, r, sigma, T, N, M, chol)
     interpret = bool(interpret)

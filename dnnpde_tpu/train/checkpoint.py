@@ -4,19 +4,35 @@ The reference persists only ``model_state_dict`` + loss history
 (``1d_BSPDE_case.py:453-464``), silently dropping optimizer state — resuming
 an Adam run restarts its moments. Here the full training state round-trips.
 
-Format: a single msgpack file via ``flax.serialization`` (portable, no torch).
-An Orbax-based variant is provided for large/multi-host checkpoints.
+Format: a single msgpack file, msgpack at BOTH levels — params/opt_state as
+``flax.serialization.to_bytes`` blobs nested inside an outer
+``msgpack_serialize`` container (no pickle anywhere, so restoring an
+untrusted checkpoint cannot execute code). An Orbax-based variant is
+provided for large/multi-host checkpoints.
 """
 
 from __future__ import annotations
 
-import pickle
 from pathlib import Path
 from typing import Any, Optional
 
 import jax
 import numpy as np
 from flax import serialization
+
+
+def _msgpackable(v: Any) -> Any:
+    """Canonicalize metadata for msgpack: tuples→lists (recursively), jax
+    arrays→numpy, numpy scalars→python scalars."""
+    if isinstance(v, (tuple, list)):
+        return [_msgpackable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _msgpackable(x) for k, x in v.items()}
+    if isinstance(v, jax.Array):
+        return np.asarray(v)
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
 
 
 def save_checkpoint(
@@ -31,14 +47,11 @@ def save_checkpoint(
         "opt_state": (
             serialization.to_bytes(opt_state) if opt_state is not None else None
         ),
-        "metadata": {
-            k: (np.asarray(v) if isinstance(v, jax.Array) else v)
-            for k, v in metadata.items()
-        },
+        "metadata": {k: _msgpackable(v) for k, v in metadata.items()},
     }
     Path(file_name).parent.mkdir(parents=True, exist_ok=True)
     with open(file_name, "wb") as f:
-        pickle.dump(payload, f)
+        f.write(serialization.msgpack_serialize(payload))
 
 
 def restore_checkpoint(
@@ -49,7 +62,7 @@ def restore_checkpoint(
     """Restore into the given pytree templates. Returns a dict with ``params``,
     ``opt_state`` (or None) and all saved metadata keys."""
     with open(file_name, "rb") as f:
-        payload = pickle.load(f)
+        payload = serialization.msgpack_restore(f.read())
     out: dict[str, Any] = dict(payload["metadata"])
     out["params"] = serialization.from_bytes(params_template, payload["params"])
     if payload.get("opt_state") is not None and opt_state_template is not None:

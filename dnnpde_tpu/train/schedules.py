@@ -1,7 +1,9 @@
 """Training schedules: time-step refinement and the two-phase LR protocol.
 
 - Time-step refinement (coarse→fine N): reference formula
-  ``N = ceil(Mm^(int(it/4000)+1))`` for 4000 ≤ it < 20000, else ``ceil(Mm)``
+  ``N = ceil(Mm^(int(it/4000)+1))`` for 4000 ≤ it < 20000; past 20000 the
+  reference simply stops updating ``self.N``, so the *last ramp value*
+  (≈ ``ceil(Mm^5)``, the original fine N) persists
   (``1d_BSPDE_case.py:371-375``; the base ``Mm`` is typically ``N^(1/5)``).
   Dynamic N changes array shapes → under jit each distinct N is its own
   compilation; the schedule is therefore exposed as *buckets* of contiguous
@@ -44,7 +46,10 @@ class TimeStepRefinement:
         elif it < self.ramp_end:
             n = math.ceil(self.Mm ** (it // self.ramp_period + 1))
         else:
-            n = math.ceil(self.Mm)  # reference falls back to ceil(Mm) past 20000
+            # The reference's loop stops touching self.N past ramp_end, so the
+            # last ramp value persists — a long run must NOT collapse back to
+            # the coarsest grid (1d_BSPDE_case.py:371-375 has no else-branch).
+            n = math.ceil(self.Mm ** ((self.ramp_end - 1) // self.ramp_period + 1))
         if self.n_cap is not None:
             n = min(n, self.n_cap)
         return max(n, 1)

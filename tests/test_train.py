@@ -58,7 +58,8 @@ def test_gradient_clipping_in_chain():
 
 # -------------------------------------------------------------- schedules
 def test_refinement_formula_matches_reference():
-    """N = ceil(Mm^(it//4000 + 1)) for 4000 <= it < 20000, else ceil(Mm)
+    """N = ceil(Mm^(it//4000 + 1)) for 4000 <= it < 20000; past 20000 the
+    reference stops updating self.N, so the last ramp value persists
     (1d_BSPDE_case.py:371-375)."""
     Mm = 50 ** (1 / 5)
     ref = TimeStepRefinement(Mm=Mm)
@@ -69,7 +70,11 @@ def test_refinement_formula_matches_reference():
     # ceil((50^(1/5))^5) = ceil(50.00000000000001) = 51 — float round-trip,
     # identical in the reference's own formula
     assert ref.n_at(16000) == math.ceil(Mm**5) == 51
-    assert ref.n_at(20000) == math.ceil(Mm)
+    # persist-last-N semantics: a 30k-iter run stays at the fine grid
+    assert ref.n_at(20000) == math.ceil(Mm**5)
+    assert ref.n_at(30000) == math.ceil(Mm**5)
+    # n_cap still applies past the ramp
+    assert TimeStepRefinement(Mm=Mm, n_cap=40).n_at(25000) == 40
 
 
 def test_refinement_buckets_contiguous():

@@ -3,6 +3,7 @@
 from dnnpde_tpu.parallel.model_sharding import (
     TP_AXIS,
     make_mesh_2d,
+    plan_tp_specs,
     shard_params_tp,
     tp_sharding_summary,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "replicated",
     "TP_AXIS",
     "make_mesh_2d",
+    "plan_tp_specs",
     "shard_params_tp",
     "tp_sharding_summary",
     "make_shard_map_train_step",

@@ -13,6 +13,7 @@ Use a 2-D mesh ``make_mesh_2d(dp, tp)``; batch stays on "dp", features on
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional, Sequence
 
 import jax
@@ -37,30 +38,57 @@ def make_mesh_2d(
     return Mesh(grid, (DP_AXIS, TP_AXIS))
 
 
-def _kernel_spec(path: tuple, leaf, min_shard_dim: int) -> P:
-    """Column-parallel for even-depth Dense kernels, row-parallel for odd —
-    alternating so activations stay sharded between pairs with one psum per
-    pair. Biases follow their kernel's output sharding. Small dims stay
-    replicated (a 128-wide layer on 8 chips is 16 lanes — not worth it)."""
-    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-    is_kernel = leaf.ndim == 2
-    # depth index: the OUTER module name carries the layer index (paths look
-    # like ('params', 'Dense_3', 'Dense_0', 'kernel') — the inner wrapper is
-    # always Dense_0, so take the first indexed name, not the last)
-    depth = 0
+def _path_names(path: tuple) -> tuple[str, ...]:
+    return tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+
+
+def _natural_key(names: Sequence[str]) -> tuple:
+    """Sort key that orders ``Dense_2`` before ``Dense_10`` (numeric runs
+    compare as integers, text runs as strings)."""
+    key = []
     for n in names:
-        if isinstance(n, str) and "_" in n:
-            try:
-                depth = int(n.rsplit("_", 1)[1])
-                break
-            except ValueError:
-                pass
-    if is_kernel and max(leaf.shape) >= min_shard_dim:
-        if depth % 2 == 0 and leaf.shape[1] >= min_shard_dim:
-            return P(None, TP_AXIS)  # column parallel
-        if leaf.shape[0] >= min_shard_dim:
-            return P(TP_AXIS, None)  # row parallel
-    return P()
+        for tok in re.split(r"(\d+)", n):
+            if tok.isdigit():
+                key.append((1, int(tok), ""))
+            elif tok:
+                key.append((0, 0, tok))
+    return tuple(key)
+
+
+def plan_tp_specs(params: Any, min_shard_dim: int = 512) -> dict[tuple, P]:
+    """Alternating column/row TP plan keyed by parameter path names.
+
+    Walks every 2-D kernel in the pytree in natural forward order (module
+    auto-names sort numerically, so ``Dense_10`` follows ``Dense_9``) and
+    alternates column-parallel ``P(None, "tp")`` / row-parallel
+    ``P("tp", None)`` (Megatron pairing: activations stay feature-sharded
+    between a col/row pair, one psum per pair). The alternation index
+    advances only when a kernel actually shards, so a too-narrow layer in
+    the middle doesn't flip the phase. This is structural — no string
+    parsing of layer indices — so nets with irregular param names
+    (``_StableBlockDense_0``, ``brownian_kernel_0``, ``verlet_kernel_0``)
+    get consistent placements instead of a silently-wrong depth. Dims below
+    ``min_shard_dim`` stay replicated (a 128-wide layer on 8 chips is 16
+    lanes — not worth the collective)."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    mats = [
+        (_path_names(path), leaf)
+        for path, leaf in leaves
+        if getattr(leaf, "ndim", 0) == 2
+    ]
+    mats.sort(key=lambda pl: _natural_key(pl[0]))
+    specs: dict[tuple, P] = {}
+    k = 0
+    for names, leaf in mats:
+        spec = P()
+        if k % 2 == 0 and leaf.shape[1] >= min_shard_dim:
+            spec = P(None, TP_AXIS)  # column parallel
+            k += 1
+        elif k % 2 == 1 and leaf.shape[0] >= min_shard_dim:
+            spec = P(TP_AXIS, None)  # row parallel
+            k += 1
+        specs[names] = spec
+    return specs
 
 
 def shard_params_tp(
@@ -72,9 +100,10 @@ def shard_params_tp(
     resharded pytree; under jit, XLA propagates the layouts and inserts the
     reductions.
     """
+    plan = plan_tp_specs(params, min_shard_dim)
 
     def place(path, leaf):
-        spec = _kernel_spec(path, leaf, min_shard_dim)
+        spec = plan.get(_path_names(path), P())
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

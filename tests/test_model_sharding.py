@@ -64,8 +64,8 @@ def test_tp_training_matches_replicated(mesh_2d):
 
 
 def test_tp_alternates_column_and_row(mesh_2d, rng_key):
-    """Regression: depth parsing must see the OUTER layer index so the
-    Megatron column/row alternation actually alternates."""
+    """Regression: the plan must alternate column/row in forward layer order
+    (Megatron pairing), independent of how module names parse."""
     net = MLP(layers=(9, 512, 512, 512, 1), activation="sine")
     params = net.init(rng_key, jnp.ones((1, 9)))
     summary = tp_sharding_summary(shard_params_tp(params, mesh_2d))
@@ -73,3 +73,40 @@ def test_tp_alternates_column_and_row(mesh_2d, rng_key):
     col = [s for s in kernel_specs if "None, 'tp'" in s]
     row = [s for s in kernel_specs if "'tp'," in s and not "None, 'tp'" in s]
     assert col and row, kernel_specs
+
+
+def test_plan_alternation_skips_narrow_layers(rng_key):
+    """A too-narrow middle layer must not flip the col/row phase: the
+    alternation index advances only on kernels that actually shard."""
+    from dnnpde_tpu.parallel import plan_tp_specs
+
+    net = MLP(layers=(9, 512, 32, 32, 512, 1), activation="sine")
+    params = net.init(rng_key, jnp.ones((1, 9)))
+    from jax.sharding import PartitionSpec as P
+
+    plan = plan_tp_specs(params, min_shard_dim=512)
+    # forward order: (9,512)->col, (512,32)->row (contracting dim wide
+    # enough), (32,32)->replicated WITHOUT advancing the phase, (32,512)->col
+    # (still column's turn), (512,1)->row.
+    specs = [s for _, s in sorted(plan.items())]
+    assert specs == [
+        P(None, "tp"), P("tp", None), P(), P(None, "tp"), P("tp", None)
+    ], plan
+
+
+@pytest.mark.parametrize("mode,extra", [("NAIS-Net", "_StableBlockDense"),
+                                        ("SDEnet", "brownian_kernel")])
+def test_tp_irregular_nets_step(mesh_2d, mode, extra):
+    """NaisNet/SDENet param trees contain non-Dense_k names; TP placement
+    must stay structural (no string-parsed depth) and the full dp x tp
+    training step must run to a finite loss."""
+    prob = BlackScholesBarenblatt(D=8)
+    tr = Trainer(
+        prob, M=8, N=3, layers=[9, 512, 512, 1], mode=mode,
+        activation="Sine", mesh=mesh_2d, seed=3,
+    )
+    summary = tp_sharding_summary(tr.params)
+    assert any(extra in k for k in summary), summary.keys()
+    assert any("'tp'" in s for s in summary.values()), summary
+    res = tr.train(2, 1e-3, log_every=2, verbose=False)
+    assert np.isfinite(res.graph[1]).all()

@@ -341,13 +341,36 @@ class HestonExecutor:
         self.report = ResultsReport()
         self.plot = TrainingPlot(save_path)
 
+    def oracle_cross_check(self, num_paths: int = 100_000,
+                           num_steps: int = 500) -> dict[str, float]:
+        """Price Y0 = u(0, S0, v0) with THREE independent oracles: the
+        closed form, the reflection-Milstein MC (scheme I), and the
+        truncation MC (scheme II, reference heston_closed_form_ii.py:6-114).
+        The reference cross-checks these by hand across three scripts."""
+        import jax
+
+        from dnnpde_tpu.numerics import heston_mc_price, heston_mc_price_ii
+
+        p = self.problem
+        hp = HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa,
+                          theta=p.theta, sigma=p.sigma_v, rho=p.rho, v0=p.v0)
+        closed = float(heston_call_price(p.S0, p.v0, hp))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
+        mc1, se1 = heston_mc_price(k1, p.S0, hp, num_paths, num_steps)
+        mc2, se2 = heston_mc_price_ii(k2, p.S0, hp, num_paths, num_steps)
+        return {
+            "closed_form": closed,
+            "mc_milstein_reflection": float(mc1), "mc_i_se": float(se1),
+            "mc_euler_truncation_ii": float(mc2), "mc_ii_se": float(se2),
+        }
+
     def execute(self) -> "ResultsReport":
         p = self.problem
-        exact = float(heston_call_price(
-            p.S0, p.v0,
-            HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa,
-                         theta=p.theta, sigma=p.sigma_v, rho=p.rho, v0=p.v0),
-        ))
+        oracles = self.oracle_cross_check()
+        exact = oracles["closed_form"]
+        oracle_report = ResultsReport()
+        oracle_report.add_row(**oracles)
+        oracle_report.to_csv(f"{self.save_path}/heston_oracle_cross_check.csv")
         for M in self.Ms:
             tic = time.time()
             trainer = Trainer(
@@ -362,11 +385,20 @@ class HestonExecutor:
             self.plot.plot_y0_evolution(
                 trainer.iteration, y0s, exact_y0=exact, name=f"HestonY0_M{M}"
             )
+            # Degenerate-run detection: with clamp_u = 0 and a tiny batch the
+            # net can start (and stay) in the clamp's zero-gradient region —
+            # Y0 pinned at exactly the clamp for the whole run (observed at
+            # M=2). Such a row must not be averaged into conclusions.
+            clamp = p.clamp_u if p.clamp_u is not None else np.nan
+            pinned = bool(y0s.size) and bool(np.all(y0s == y0s[0]))
+            at_clamp = bool(y0s.size) and float(y0s[-1]) == clamp
+            degenerate = pinned or (at_clamp and float(l2_errors[-1]) > 0.1 * abs(exact))
             self.report.add_row(
                 M=M, exact_y0=exact, learned_y0=float(y0s[-1]),
                 final_l2_error=float(l2_errors[-1]),
                 min_loss=min(r1.min_loss, r2.min_loss),
                 run_time=time.time() - tic,
+                degenerate=degenerate,
             )
             self._plot_learned_surfaces(trainer, M)
         self.report.to_csv(f"{self.save_path}/results_heston.csv")

@@ -24,6 +24,7 @@ from dnnpde_tpu.numerics.heston import (
     heston_delta_surface,
     heston_gamma_surface,
     heston_mc_price,
+    heston_mc_price_ii,
     heston_price_surface,
 )
 from dnnpde_tpu.numerics.moments import (
@@ -61,6 +62,7 @@ __all__ = [
     "heston_delta_surface",
     "heston_gamma_surface",
     "heston_mc_price",
+    "heston_mc_price_ii",
     "basket_call_mc",
     "basket_delta_mc",
     "basket_price_paths_mc",

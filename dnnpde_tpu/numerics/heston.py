@@ -190,3 +190,57 @@ def heston_mc_price(
     price = disc * jnp.mean(payoff)
     se = disc * jnp.std(payoff) / jnp.sqrt(num_paths)
     return price, se
+
+
+def heston_mc_price_ii(
+    key: jax.Array,
+    S0: float,
+    params: HestonParams = HestonParams(),
+    num_paths: int = 100_000,
+    num_steps: int = 1000,
+    v0: float | None = None,
+) -> tuple[Array, Array]:
+    """Second, independent Heston MC — the reference's
+    ``numerics/heston_closed_form_ii.py:6-114`` scheme, (price, std_error).
+
+    Differs from :func:`heston_mc_price` in two deliberate ways (keeping the
+    cross-check independent):
+    - negative variance handled by TRUNCATION ``v ← max(v, 0)`` after the
+      Milstein step (reference ii ``:37``) instead of reflection ``|v|``;
+    - the stock shock is built FROM the variance shock,
+      ``Z_s = ρ·Z_v + √(1−ρ²)·Z`` (reference ii ``:29``), where scheme I
+      correlates the variance shock from the stock shock. The joint law is
+      identical; the code paths are not.
+    The optional ``v0`` lets price/delta/gamma surfaces over (S, v) start at
+    off-equilibrium variances (reference ii ``price_surface``, ``:56-63``).
+    """
+    dt = params.T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    k1, k2 = jax.random.split(key)
+    zv = jax.random.normal(k1, (num_steps, num_paths))
+    zs = params.rho * zv + jnp.sqrt(1 - params.rho**2) * jax.random.normal(
+        k2, (num_steps, num_paths)
+    )
+    v_init = params.v0 if v0 is None else v0
+
+    def step(carry, zz):
+        logS, v = carry
+        z_s, z_v = zz
+        sqrt_v = jnp.sqrt(v)
+        v_next = (
+            v
+            + params.kappa * (params.theta - v) * dt
+            + params.sigma * sqrt_v * sqrt_dt * z_v
+            + 0.25 * params.sigma**2 * dt * (z_v**2 - 1.0)
+        )
+        v_next = jnp.maximum(v_next, 0.0)  # truncation (reference ii :37)
+        logS_next = logS + (params.r - 0.5 * v) * dt + sqrt_v * sqrt_dt * z_s
+        return (logS_next, v_next), None
+
+    init = (jnp.full((num_paths,), jnp.log(S0)), jnp.full((num_paths,), v_init))
+    (logS_T, _), _ = jax.lax.scan(step, init, (zs, zv))
+    payoff = jnp.maximum(jnp.exp(logS_T) - params.K, 0.0)
+    disc = jnp.exp(-params.r * params.T)
+    price = disc * jnp.mean(payoff)
+    se = disc * jnp.std(payoff) / jnp.sqrt(num_paths)
+    return price, se

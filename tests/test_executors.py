@@ -72,6 +72,34 @@ def test_heston_executor(tmp_path):
     assert len(df) == 1
     assert df.loc[0, "exact_y0"] == pytest.approx(0.1984, abs=2e-3)
     assert np.isfinite(df.loc[0, "final_l2_error"])
+    assert "degenerate" in df.columns
+    # triple-oracle cross-check table is written alongside the sweep
+    cc = pd.read_csv(tmp_path / "heston_oracle_cross_check.csv")
+    assert cc.loc[0, "closed_form"] == pytest.approx(0.1984, abs=2e-3)
+    for col in ("mc_milstein_reflection", "mc_euler_truncation_ii"):
+        assert cc.loc[0, col] == pytest.approx(
+            cc.loc[0, "closed_form"], abs=4 * cc.loc[0, "mc_ii_se"] + 5e-3
+        )
+
+
+def test_heston_executor_flags_clamp_pinned_run(tmp_path, monkeypatch):
+    """A run whose Y0 never leaves the output clamp (the dead-net collapse
+    observed at M=2 with clamp_u=0) must be flagged degenerate."""
+    ex = HestonExecutor(Ms=(2,), N=4, n_iter=(4, 2), save_path=str(tmp_path))
+
+    import dnnpde_tpu.experiments.executors as exmod
+
+    orig = exmod._train_two_phase
+
+    def fake_two_phase(trainer, lrs, n_iter, opt):
+        r1, r2 = orig(trainer, lrs, n_iter, opt)
+        trainer.y0_log = [0.0] * len(trainer.y0_log)  # pinned at the clamp
+        return r1, r2
+
+    monkeypatch.setattr(exmod, "_train_two_phase", fake_two_phase)
+    ex.execute()
+    df = pd.read_csv(tmp_path / "results_heston.csv")
+    assert bool(df.loc[0, "degenerate"]) is True
 
 
 def test_sensitivity_executor():

@@ -137,6 +137,34 @@ def test_heston_mc_vs_closed_form(rng_key):
     assert abs(float(mc) - exact) < 4 * float(se) + 5e-3  # Milstein bias margin
 
 
+def test_heston_mc_ii_three_way_cross_check(rng_key):
+    """Closed form, reflection-Milstein MC (scheme I), and the independent
+    truncation MC (scheme II, reference heston_closed_form_ii.py:6-114) must
+    all agree — the triple oracle the reference runs by hand."""
+    from dnnpde_tpu.numerics import heston_mc_price_ii
+
+    exact = float(heston_call_price(1.0, REF_HESTON.v0, REF_HESTON, order=512))
+    k1, k2 = jax.random.split(rng_key)
+    mc1, se1 = heston_mc_price(k1, 1.0, REF_HESTON, num_paths=60_000, num_steps=400)
+    mc2, se2 = heston_mc_price_ii(k2, 1.0, REF_HESTON, num_paths=60_000, num_steps=400)
+    assert abs(float(mc2) - exact) < 4 * float(se2) + 5e-3
+    assert abs(float(mc1) - float(mc2)) < 4 * (float(se1) + float(se2)) + 5e-3
+
+
+def test_heston_mc_ii_off_equilibrium_v0(rng_key):
+    """The v0 override prices from an off-equilibrium variance — used for the
+    (S, v) surfaces (reference ii price_surface, :56-63)."""
+    from dnnpde_tpu.numerics import heston_mc_price_ii
+
+    lo, _ = heston_mc_price_ii(
+        rng_key, 1.0, REF_HESTON, num_paths=30_000, num_steps=200, v0=0.05
+    )
+    hi, _ = heston_mc_price_ii(
+        rng_key, 1.0, REF_HESTON, num_paths=30_000, num_steps=200, v0=0.5
+    )
+    assert float(hi) > float(lo)  # vega > 0
+
+
 def test_heston_reference_compat_flag():
     """The reference's buggy assembly over-discounts: its value equals the
     correct price with the S·P1 term multiplied by e^{−rT}. The compat flag

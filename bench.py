@@ -23,28 +23,29 @@ import numpy as np
 M, N, D = 100, 50, 100
 CHUNK = 250
 BENCH_ITERS = 1000
-TORCH_BASELINE_ITERS = 3
+TORCH_WARMUP_ITERS = 3
+TORCH_BASELINE_ITERS = 20
 
 
-def bench_tpu() -> float:
+def bench_tpu(batch: int = M, iters: int = BENCH_ITERS, chunk: int = CHUNK) -> float:
     """Our framework: iterations/sec for the full jitted train step."""
     from dnnpde_tpu.pde import BlackScholesBarenblatt
     from dnnpde_tpu.train import Trainer
 
     problem = BlackScholesBarenblatt(D=D, T=1.0)
     trainer = Trainer(
-        problem, M=M, N=N, layers=[D + 1, 256, 256, 256, 256, 1],
+        problem, M=batch, N=N, layers=[D + 1, 256, 256, 256, 256, 1],
         mode="FC", activation="Sine", seed=0,
     )
     # Warmup: compile the chunked training scan. The chunk program is keyed
     # on its length, so warm up with the SAME log_every used for timing.
-    trainer.train(CHUNK, 1e-3, "Adam", log_every=CHUNK, verbose=False)
+    trainer.train(chunk, 1e-3, "Adam", log_every=chunk, verbose=False)
     jax.block_until_ready(trainer.params)
     t0 = time.perf_counter()
-    trainer.train(BENCH_ITERS, 1e-3, "Adam", log_every=CHUNK, verbose=False)
-    jax.block_until_ready(trainer.params)
+    res = trainer.train(iters, 1e-3, "Adam", log_every=chunk, verbose=False)
+    _ = float(res.graph[1][-1])  # host read — reliable sync through the tunnel
     dt = time.perf_counter() - t0
-    return BENCH_ITERS / dt
+    return iters / dt
 
 
 def bench_torch_reference_style() -> float:
@@ -82,7 +83,7 @@ def bench_torch_reference_style() -> float:
         return u, Z
 
     times = []
-    for _ in range(TORCH_BASELINE_ITERS):
+    for i in range(TORCH_WARMUP_ITERS + TORCH_BASELINE_ITERS):
         tic = time.perf_counter()
         dW = (np.sqrt(dt) * np.random.normal(size=(M, N, D))).astype(np.float32)
         dW_t = torch.from_numpy(dW).to(dev)
@@ -108,12 +109,20 @@ def bench_torch_reference_style() -> float:
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
-        times.append(time.perf_counter() - tic)
+        if i >= TORCH_WARMUP_ITERS:  # exclude allocator/autograd warmup
+            times.append(time.perf_counter() - tic)
     return 1.0 / float(np.median(times))
 
 
 def main() -> None:
     ours = bench_tpu()
+    # Large-batch throughput rows (driver-visible): the v5e keeps scaling
+    # path-steps/s well past the reference's M=100 config.
+    extra = {}
+    for batch, iters in ((512, 400), (2048, 200)):
+        ips = bench_tpu(batch=batch, iters=iters, chunk=100)
+        extra[f"m{batch}_iters_per_sec"] = round(ips, 1)
+        extra[f"m{batch}_path_steps_per_sec"] = round(ips * batch * N)
     try:
         baseline = bench_torch_reference_style()
     except Exception:
@@ -126,6 +135,7 @@ def main() -> None:
                 "value": round(ours, 3),
                 "unit": "iters/s (M=100,N=50,D=100 FC-Sine deep-BSDE step)",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
+                "extra": extra,
             }
         )
     )

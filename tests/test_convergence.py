@@ -28,13 +28,17 @@ pytestmark = pytest.mark.slow
 
 
 def test_1d_call_converges_to_black_scholes():
+    """Three-phase anneal (the canonical protocol scaled to the CPU backend):
+    measured 0.8-1.3% across seeds 0-2 at this budget; on TPU the full
+    20k-iter protocol reaches <=1.3% at N=50 and <=0.7% at N=25."""
     p = CallOption1D(D=1)
-    tr = Trainer(p, M=64, N=10, layers=[2, 32, 32, 32, 32, 1], seed=0)
-    tr.train(1500, 1e-3, log_every=500, verbose=False)
-    tr.train(300, 1e-4, log_every=300, verbose=False)
+    tr = Trainer(p, M=128, N=10, layers=[2, 64, 64, 64, 64, 1], seed=0)
+    tr.train(2000, 1e-3, log_every=500, verbose=False)
+    tr.train(1500, 1e-4, log_every=500, verbose=False)
+    tr.train(500, 1e-5, log_every=500, verbose=False)
     bs = float(black_scholes_call(1.0, p.K, p.T, p.r, p.sigma_bar))
     rel = abs(tr.y0_log[-1] - bs) / bs
-    assert rel < 0.08, f"1D call rel err {rel:.3f} vs BS {bs:.4f}"
+    assert rel < 0.03, f"1D call rel err {rel:.3f} vs BS {bs:.4f}"
 
 
 def test_bsb_5d_converges_to_closed_form():

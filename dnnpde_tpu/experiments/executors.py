@@ -427,9 +427,12 @@ class HestonExecutor:
 class SensitivityExecutor:
     """Real training samples + synthetic augmentation → HSIC analysis
     (reference ``SensitivityExecutor``, ``sensitivity_analysis_trun.py:1100-1217``).
-    The reference fans real runs over ``ProcessPoolExecutor``; here each run
-    is a fully-jitted training loop, so sequential dispatch is already
-    device-bound and no host-process pool is needed."""
+    The reference fans real runs over ``ProcessPoolExecutor``; here ALL real
+    samples train simultaneously as one vmapped two-phase program on device
+    (``train.ensemble.train_sensitivity_ensemble``) — per-member lrs and
+    phase lengths, fixed shapes, one compile. ``evaluate_model`` remains for
+    single ad-hoc runs and for optimizers outside the ensemble's
+    preconditioner set (LBFGS etc.), which fall back to sequential."""
 
     def __init__(
         self,
@@ -469,13 +472,34 @@ class SensitivityExecutor:
         return min(r1.min_loss, r2.min_loss)
 
     def execute(
-        self, num_real_samples: int = 5, num_simulated_samples: int = 995
+        self, num_real_samples: int = 32, num_simulated_samples: int = 968
     ) -> dict[str, float]:
         rng = np.random.default_rng(self.seed)
         results = []
-        for _ in range(num_real_samples):
-            hp = sample_hyperparameters(rng)
-            results.append({"hyperparams": hp, "performance": self.evaluate_model(hp)})
+        real_hps = [sample_hyperparameters(rng) for _ in range(num_real_samples)]
+        if real_hps:
+            from dnnpde_tpu.train.ensemble import (
+                _PRECONDITIONERS,
+                train_sensitivity_ensemble,
+            )
+
+            if self.optimizer.lower() in _PRECONDITIONERS:
+                perfs = train_sensitivity_ensemble(
+                    self.problem, real_hps, M=self.M, N=self.N,
+                    layers=default_layers(self.problem.dim, width=64),
+                    mode=self.mode, activation=self.activation,
+                    optimizer_type=self.optimizer, seed=self.seed,
+                    iter_scale=self.iter_scale,
+                )
+                results += [
+                    {"hyperparams": hp, "performance": float(p)}
+                    for hp, p in zip(real_hps, perfs)
+                ]
+            else:  # sequential fallback (e.g. LBFGS)
+                results += [
+                    {"hyperparams": hp, "performance": self.evaluate_model(hp)}
+                    for hp in real_hps
+                ]
         for _ in range(num_simulated_samples):
             hp = sample_hyperparameters(rng)
             perf = float(simulate_performance(

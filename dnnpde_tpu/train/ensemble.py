@@ -136,3 +136,101 @@ def train_ensemble(
     return EnsembleResult(
         params=params, losses=losses, y0s=y0s, final_loss=losses[:, -1]
     )
+
+
+def train_sensitivity_ensemble(
+    problem: PDEProblem,
+    hyperparams: Sequence[dict],
+    M: int = 32,
+    N: int = 16,
+    layers: Optional[Sequence[int]] = None,
+    mode: str = "FC",
+    activation: str = "Sine",
+    optimizer_type: str = "Adam",
+    clip_norm: float = 1.0,
+    seed: int = 0,
+    iter_scale: float = 1.0,
+    config: Optional[SolverConfig] = None,
+) -> np.ndarray:
+    """Min training loss per hyperparameter sample, ALL samples trained as
+    one vmapped two-phase program — the on-device replacement for the
+    reference's ``ProcessPoolExecutor`` fan-out of real sensitivity runs
+    (``sensitivity_analysis_trun.py:1122-1136``).
+
+    Each sample k trains ``initial_n_iter_k`` iterations at
+    ``initial_lr_k`` then ``fine_tuning_n_iter_k`` at ``fine_tuning_lr_k``.
+    Heterogeneous phase lengths vmap by running every member for the
+    longest total and reading each member's loss only inside its own active
+    window (fixed shapes, per-member predicates — no dynamic control flow
+    under jit). Returns the (K,) per-sample min losses.
+    """
+    K = len(hyperparams)
+    n1 = np.array(
+        [max(1, int(h["initial_n_iter"] * iter_scale)) for h in hyperparams]
+    )
+    n2 = np.array(
+        [max(1, int(h["fine_tuning_n_iter"] * iter_scale)) for h in hyperparams]
+    )
+    lr1 = jnp.asarray([h["initial_lr"] for h in hyperparams], jnp.float32)
+    lr2 = jnp.asarray([h["fine_tuning_lr"] for h in hyperparams], jnp.float32)
+    n1_d = jnp.asarray(n1)
+    total_d = jnp.asarray(n1 + n2)
+    n_total = int((n1 + n2).max())
+
+    key = jax.random.PRNGKey(seed)
+    layers = list(layers) if layers else [problem.dim + 1, 64, 64, 64, 64, 1]
+    net = build_network(mode, layers, activation)
+    loss_fn = make_loss_fn(problem, net, config or SolverConfig(remat=False))
+
+    opt_key = optimizer_type.lower()
+    if opt_key not in _PRECONDITIONERS:
+        raise ValueError(
+            f"ensemble supports {sorted(_PRECONDITIONERS)}, got {optimizer_type!r}"
+        )
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_norm), _PRECONDITIONERS[opt_key]()
+    )
+
+    D, Dw, T = problem.dim, problem.noise_dim, problem.T
+    x0 = jnp.broadcast_to(jnp.asarray(problem.x0, jnp.float32), (M, D))
+    ts = jnp.swapaxes(time_grid(M, N, T), 0, 1)
+
+    init_keys = jax.random.split(key, K + 1)
+    member_keys, run_key = init_keys[:-1], init_keys[-1]
+    dummy = jnp.zeros((1, D + 1), jnp.float32)
+    params0 = jax.vmap(lambda k: net.init({"params": k}, dummy))(member_keys)
+    opt0 = jax.vmap(tx.init)(params0)
+
+    def member_iter(params, opt_state, lr, key):
+        kw, kn = jax.random.split(key)
+        _, dWs = time_major_batch(kw, M, N, Dw, T)
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, ts, dWs, x0, kn).loss
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_states, keys):
+        def one_iter(carry, inp):
+            i, it_keys = inp
+            params, opt_states = carry
+            # phase-aware per-member lr; members past their budget keep
+            # stepping (their losses are masked out below) — cheaper than
+            # per-member freezing and identical for the min-loss metric.
+            lrs_i = jnp.where(i < n1_d, lr1, lr2)
+            params, opt_states, losses = jax.vmap(member_iter)(
+                params, opt_states, lrs_i, it_keys
+            )
+            losses = jnp.where(i < total_d, losses, jnp.inf)
+            return (params, opt_states), losses
+
+        (params, opt_states), losses = jax.lax.scan(
+            one_iter, (params, opt_states), keys
+        )
+        return losses
+
+    iter_keys = jax.random.split(run_key, n_total * K).reshape(n_total, K, -1)
+    losses = run(params0, opt0, (jnp.arange(n_total), iter_keys))
+    return np.asarray(jnp.min(losses, axis=0))  # (K,) min over active window

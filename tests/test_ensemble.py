@@ -41,3 +41,48 @@ def test_ensemble_rejects_unknown_optimizer():
             BlackScholesBarenblatt(D=2), 2, 2, M=4, N=2,
             layers=[3, 8, 8, 8, 8, 1], optimizer_type="LBFGS",
         )
+
+
+def test_sensitivity_ensemble_two_phase_masking():
+    """Heterogeneous (n1, n2) budgets in one program: every member reports a
+    finite min loss taken only over its own active window, and a member
+    given a sane lr beats one given a junk lr."""
+    from dnnpde_tpu.train.ensemble import train_sensitivity_ensemble
+
+    prob = BlackScholesBarenblatt(D=4)
+    hps = [
+        {"initial_lr": 1e-3, "fine_tuning_lr": 1e-4,
+         "initial_n_iter": 60, "fine_tuning_n_iter": 20},
+        {"initial_lr": 1e-7, "fine_tuning_lr": 1e-8,
+         "initial_n_iter": 10, "fine_tuning_n_iter": 5},
+        {"initial_lr": 3e-3, "fine_tuning_lr": 1e-5,
+         "initial_n_iter": 30, "fine_tuning_n_iter": 40},
+    ]
+    perfs = train_sensitivity_ensemble(
+        prob, hps, M=16, N=4, layers=[5, 16, 16, 16, 16, 1], seed=0
+    )
+    assert perfs.shape == (3,)
+    assert np.isfinite(perfs).all()
+    # min loss can only improve with a longer budget at a working lr
+    assert perfs[0] < perfs[1]
+
+
+def test_sensitivity_executor_uses_ensemble(monkeypatch):
+    """The executor must fan ALL real samples into ONE ensemble call."""
+    from dnnpde_tpu.experiments import SensitivityExecutor
+    from dnnpde_tpu.pde import CallOption1D
+    import dnnpde_tpu.train.ensemble as ens
+
+    calls = []
+    orig = ens.train_sensitivity_ensemble
+
+    def spy(problem, hyperparams, **kw):
+        calls.append(len(hyperparams))
+        return orig(problem, hyperparams, **kw)
+
+    monkeypatch.setattr(ens, "train_sensitivity_ensemble", spy)
+    scores = SensitivityExecutor(
+        CallOption1D(D=1), M=4, N=3, iter_scale=2e-4,
+    ).execute(num_real_samples=3, num_simulated_samples=50)
+    assert calls == [3]  # one call, three members
+    assert all(np.isfinite(v) for v in scores.values())

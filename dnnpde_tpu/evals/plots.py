@@ -129,6 +129,27 @@ class TrainingPlot:
             ax.view_init(elev=30, azim=130)
         return self._save(f"{name}_surfaces.png")
 
+    def plot_jacobian_surface(
+        self, t_values, s_values, Z, name="Jacobian", title="‖∇ₓu‖"
+    ) -> str:
+        """3-D Jacobian-norm surface with base contours (reference
+        ``plot_jacobian_3d``, ``1d_BSPDE_case.py:943-986``; feed it the
+        smoothed/upsampled grid from
+        ``StabilityCheck.smoothed_jacobian_surface``)."""
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(projection="3d")
+        S, T = np.meshgrid(np.asarray(s_values), np.asarray(t_values))
+        Z = np.asarray(Z)
+        ax.plot_surface(S, T, Z, cmap="viridis", linewidth=0,
+                        antialiased=True, alpha=0.8)
+        ax.contour(S, T, Z, zdir="z", offset=float(Z.min()),
+                   cmap="coolwarm", alpha=0.5)
+        ax.set_xlabel("S")
+        ax.set_ylabel("t")
+        ax.set_title(title)
+        ax.view_init(elev=30, azim=130)
+        return self._save(f"{name}_surface.png")
+
     def plot_stability(
         self, perturbation_range, errors_dict: dict[str, Sequence[float]], optimizer
     ) -> str:

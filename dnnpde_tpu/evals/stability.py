@@ -132,3 +132,30 @@ class StabilityCheck:
             jnp.asarray(s_values, jnp.float32)
         ))(jnp.asarray(t_values, jnp.float32))
         return np.asarray(grid)
+
+    def smoothed_jacobian_surface(
+        self,
+        t_values: np.ndarray,
+        s_values: np.ndarray,
+        dim: int = 0,
+        upsample: int = 100,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """The reference's presentation pipeline for the Jacobian surface
+        (``plot_jacobian_3d``, ``1d_BSPDE_case.py:953-969``): Gaussian filter
+        (σ=2) → cubic ``griddata`` upsample to ``upsample``² → light Gaussian
+        (σ=0.5). Returns (t_new, s_new, Z_new)."""
+        from scipy.interpolate import griddata
+        from scipy.ndimage import gaussian_filter
+
+        raw = self.jacobian_surface(t_values, s_values, dim=dim)
+        smoothed = gaussian_filter(raw, sigma=2)
+        S, Tg = np.meshgrid(s_values, t_values)
+        s_new = np.linspace(float(s_values[0]), float(s_values[-1]), upsample)
+        t_new = np.linspace(float(t_values[0]), float(t_values[-1]), upsample)
+        S_new, T_new = np.meshgrid(s_new, t_new)
+        Z_new = griddata(
+            (S.ravel(), Tg.ravel()), smoothed.ravel(), (S_new, T_new),
+            method="cubic",
+        )
+        Z_new = gaussian_filter(np.nan_to_num(Z_new), sigma=0.5)
+        return t_new, s_new, Z_new

@@ -258,6 +258,14 @@ class TestCaseExecutor:
             self.plot.plot_exact_vs_learned(
                 preds.t_test, preds.Y_pred, Y_exact[:, :, 0], mode, act, opt
             )
+            # smoothed + cubic-upsampled Jacobian surface (reference
+            # plot_jacobian_3d presentation, 1d_BSPDE_case.py:953-969)
+            t_grid = np.linspace(0.0, problem.T, 12)
+            s_grid = np.linspace(0.5, 1.5, 12)
+            t_up, s_up, Z_up = stab.smoothed_jacobian_surface(t_grid, s_grid)
+            self.plot.plot_jacobian_surface(
+                t_up, s_up, Z_up, name=f"Jacobian_{mode}_{act}_{opt}"
+            )
             self.report.add_row(
                 M=M, D=D, mode=mode, activation=act, optimizer=opt,
                 **stats,

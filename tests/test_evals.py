@@ -211,3 +211,21 @@ def test_learned_price_surface(small_trainer):
     )
     assert grid.shape == (4, 5)
     assert np.isfinite(grid).all()
+
+
+def test_smoothed_jacobian_surface_shape_and_finiteness():
+    """Gaussian-smooth + cubic-upsample pipeline (reference
+    1d_BSPDE_case.py:953-969) returns a finite upsampled grid."""
+    from dnnpde_tpu.evals import StabilityCheck
+    from dnnpde_tpu.pde import CallOption1D
+    from dnnpde_tpu.train import Trainer
+
+    tr = Trainer(CallOption1D(D=1), M=8, N=3, layers=[2, 16, 16, 1], seed=0)
+    tr.train(2, 1e-3, log_every=2, verbose=False)
+    stab = StabilityCheck(tr, perturbation_range=[0.0])
+    t_up, s_up, Z = stab.smoothed_jacobian_surface(
+        np.linspace(0, 1, 6), np.linspace(0.5, 1.5, 6), upsample=40
+    )
+    assert Z.shape == (40, 40)
+    assert np.isfinite(Z).all()
+    assert t_up.shape == (40,) and s_up.shape == (40,)

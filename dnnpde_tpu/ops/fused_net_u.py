@@ -146,19 +146,58 @@ def _fused_bwd(act, res, cts):
 fused_mlp_u_z.defvjp(_fused_fwd, _fused_bwd)
 
 
-def make_fused_net_u(layers: Sequence[int], activation: str = "sine"):
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_mlp_u_z_pallas(Ws, bs, x, interpret: bool = False):
+    """Sine-MLP (u, Z_full) on the fused Pallas kernels (ops/mlp_kernel.py):
+    one VMEM-resident kernel for forward+Z, one for the hand-derived
+    backward. bf16 matmul operands / f32 accumulate — the same precision as
+    XLA's default path (kernels are bit-exact vs a bf16-dot jnp replica)."""
+    from dnnpde_tpu.ops.mlp_kernel import mlp_u_z_fwd_pallas
+
+    return mlp_u_z_fwd_pallas(Ws, bs, x, interpret)
+
+
+def _pallas_fwd(Ws, bs, x, interpret):
+    from dnnpde_tpu.ops.mlp_kernel import mlp_u_z_fwd_pallas
+
+    return mlp_u_z_fwd_pallas(Ws, bs, x, interpret), (Ws, bs, x)
+
+
+def _pallas_bwd(interpret, res, cts):
+    from dnnpde_tpu.ops.mlp_kernel import mlp_u_z_bwd_pallas
+
+    Ws, bs, x = res
+    u_bar, z_bar = cts
+    return mlp_u_z_bwd_pallas(Ws, bs, x, u_bar, z_bar, interpret)
+
+
+fused_mlp_u_z_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def make_fused_net_u(
+    layers: Sequence[int], activation: str = "sine", backend: str = "jnp"
+):
     """net_u(params, t, X) → (u, Z) built on the fused hand-VJP path.
 
     Drop-in for ``solver.bsde.make_net_u`` restricted to plain MLPs with a
-    supported activation and no output clamp (the FC-Sine flagship path)."""
+    supported activation and no output clamp (the FC-Sine flagship path).
+    ``backend``: "jnp" (any activation, any device), "pallas" (sine, TPU),
+    or "pallas_interpret" (sine, any device — for tests)."""
     act = activation.lower()
     if act not in _ACT_DERIVS:
         raise ValueError(f"fused net_u supports {sorted(_ACT_DERIVS)}, got {act!r}")
+    if backend.startswith("pallas") and act != "sine":
+        raise ValueError("the Pallas fused net_u kernels support sine only")
 
     def net_u(params, t: Array, X: Array, key=None):
         Ws, bs = extract_mlp_params(params)
         x = jnp.concatenate([t, X], axis=-1)
-        u, z_full = fused_mlp_u_z(Ws, bs, x, act)
+        if backend == "jnp":
+            u, z_full = fused_mlp_u_z(Ws, bs, x, act)
+        else:
+            u, z_full = fused_mlp_u_z_pallas(
+                Ws, bs, x, backend == "pallas_interpret"
+            )
         return u, z_full[:, 1:]  # drop the t column
 
     return net_u

@@ -21,8 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 M, N, D = 100, 50, 100
-CHUNK = 250
-BENCH_ITERS = 1000
+# One chunk = one jitted scan = one dispatch + one host read. Through the
+# axon tunnel a blocking read costs ~42 ms, so long chunks keep the
+# measurement about the device, not the tunnel (3 chunks ≈ 4% overhead).
+CHUNK = 1000
+BENCH_ITERS = 3000
 TORCH_WARMUP_ITERS = 3
 TORCH_BASELINE_ITERS = 20
 
@@ -119,8 +122,8 @@ def main() -> None:
     # Large-batch throughput rows (driver-visible): the v5e keeps scaling
     # path-steps/s well past the reference's M=100 config.
     extra = {}
-    for batch, iters in ((512, 400), (2048, 200)):
-        ips = bench_tpu(batch=batch, iters=iters, chunk=100)
+    for batch, iters in ((512, 1000), (2048, 500)):
+        ips = bench_tpu(batch=batch, iters=iters, chunk=iters)
         extra[f"m{batch}_iters_per_sec"] = round(ips, 1)
         extra[f"m{batch}_path_steps_per_sec"] = round(ips * batch * N)
     try:

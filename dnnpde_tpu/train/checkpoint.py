@@ -62,7 +62,18 @@ def restore_checkpoint(
     """Restore into the given pytree templates. Returns a dict with ``params``,
     ``opt_state`` (or None) and all saved metadata keys."""
     with open(file_name, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+        blob = f.read()
+    try:
+        payload = serialization.msgpack_restore(blob)
+    except Exception as e:
+        if blob[:1] == b"\x80":  # pickle protocol-2+ magic
+            raise ValueError(
+                f"{file_name} is a legacy pickle checkpoint; the format is "
+                "now msgpack-only (pickle.load executes arbitrary code). "
+                "Re-save it from a trusted session: "
+                "pickle.load it yourself, then save_checkpoint(...)"
+            ) from e
+        raise
     out: dict[str, Any] = dict(payload["metadata"])
     out["params"] = serialization.from_bytes(params_template, payload["params"])
     if payload.get("opt_state") is not None and opt_state_template is not None:

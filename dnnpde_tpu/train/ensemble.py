@@ -31,10 +31,27 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
 from dnnpde_tpu.nets import build_network
 from dnnpde_tpu.pde.base import PDEProblem
 from dnnpde_tpu.sim.brownian import time_major_batch, time_grid
 from dnnpde_tpu.solver.bsde import SolverConfig, make_loss_fn
+
+
+def _shard_members(tree, mesh: Optional[Mesh]):
+    """Place a (K, ...)-leading pytree with the member axis over the mesh's
+    "dp" axis — members are embarrassingly parallel, so the vmapped ensemble
+    scales across chips with zero collectives (each chip trains its slice of
+    the population)."""
+    if mesh is None:
+        return tree
+
+    def place(leaf):
+        spec = P(*(["dp"] + [None] * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)
 
 _PRECONDITIONERS = {
     "adam": optax.scale_by_adam,
@@ -66,12 +83,20 @@ def train_ensemble(
     clip_norm: float = 1.0,
     seed: int = 0,
     config: Optional[SolverConfig] = None,
+    mesh: Optional[Mesh] = None,
 ) -> EnsembleResult:
     """Train ``n_members`` independently-initialized models in one jit.
 
     ``learning_rates``: scalar (shared) or per-member sequence — for
     lr sweeps, pass one lr per member.
+    ``mesh``: optional device mesh; the member axis shards over its "dp"
+    axis (requires n_members divisible by the dp size) — population
+    training scales across chips with zero collectives.
     """
+    if mesh is not None and n_members % mesh.shape.get("dp", 1) != 0:
+        raise ValueError(
+            f"n_members={n_members} not divisible by dp={mesh.shape.get('dp')}"
+        )
     key = jax.random.PRNGKey(seed)
     layers = list(layers) if layers else [problem.dim + 1, 64, 64, 64, 64, 1]
     net = build_network(mode, layers, activation)
@@ -97,8 +122,10 @@ def train_ensemble(
     init_keys = jax.random.split(key, n_members + 1)
     member_keys, run_key = init_keys[:-1], init_keys[-1]
     dummy = jnp.zeros((1, D + 1), jnp.float32)
-    params0 = jax.vmap(lambda k: net.init({"params": k}, dummy))(member_keys)
-    opt0 = jax.vmap(tx.init)(params0)
+    params0 = _shard_members(
+        jax.vmap(lambda k: net.init({"params": k}, dummy))(member_keys), mesh
+    )
+    opt0 = _shard_members(jax.vmap(tx.init)(params0), mesh)
 
     def member_iter(params, opt_state, lr, key):
         kw, kn = jax.random.split(key)
@@ -130,6 +157,10 @@ def train_ensemble(
     iter_keys = jax.random.split(run_key, n_iter * n_members).reshape(
         n_iter, n_members, -1
     )
+    if mesh is not None:
+        iter_keys = jax.device_put(
+            iter_keys, NamedSharding(mesh, P(None, "dp", None))
+        )
     params, _, losses, y0s = run(params0, opt0, iter_keys)
     losses = np.asarray(losses).T  # (K, n_iter)
     y0s = np.asarray(y0s).T
@@ -151,6 +182,7 @@ def train_sensitivity_ensemble(
     seed: int = 0,
     iter_scale: float = 1.0,
     config: Optional[SolverConfig] = None,
+    mesh: Optional[Mesh] = None,
 ) -> np.ndarray:
     """Min training loss per hyperparameter sample, ALL samples trained as
     one vmapped two-phase program — the on-device replacement for the
@@ -198,8 +230,10 @@ def train_sensitivity_ensemble(
     init_keys = jax.random.split(key, K + 1)
     member_keys, run_key = init_keys[:-1], init_keys[-1]
     dummy = jnp.zeros((1, D + 1), jnp.float32)
-    params0 = jax.vmap(lambda k: net.init({"params": k}, dummy))(member_keys)
-    opt0 = jax.vmap(tx.init)(params0)
+    params0 = _shard_members(
+        jax.vmap(lambda k: net.init({"params": k}, dummy))(member_keys), mesh
+    )
+    opt0 = _shard_members(jax.vmap(tx.init)(params0), mesh)
 
     def member_iter(params, opt_state, lr, key):
         kw, kn = jax.random.split(key)
@@ -232,5 +266,9 @@ def train_sensitivity_ensemble(
         return losses
 
     iter_keys = jax.random.split(run_key, n_total * K).reshape(n_total, K, -1)
+    if mesh is not None:
+        iter_keys = jax.device_put(
+            iter_keys, NamedSharding(mesh, P(None, "dp", None))
+        )
     losses = run(params0, opt0, (jnp.arange(n_total), iter_keys))
     return np.asarray(jnp.min(losses, axis=0))  # (K,) min over active window

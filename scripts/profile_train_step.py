@@ -51,7 +51,7 @@ def _sync(x) -> float:
 
 
 # --------------------------------------------------------------- matmul probe
-def matmul_ceiling_tflops(n: int = 4096, reps: int = 3, chain: int = 50) -> float:
+def matmul_ceiling_tflops(n: int = 4096, reps: int = 3, chain: int = 100) -> float:
     a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.ones((n, n), jnp.bfloat16)
 
@@ -143,22 +143,24 @@ def per_iter_flops(M: int) -> float:
 
 # ------------------------------------------------------------------- timing
 def time_train(M: int, iters: int):
+    """One chunk = one dispatch + one host read (~45 ms through the tunnel);
+    timing a single long chunk keeps that constant under ~5%."""
     from dnnpde_tpu.pde import BlackScholesBarenblatt
     from dnnpde_tpu.train import Trainer
 
     problem = BlackScholesBarenblatt(D=D, T=1.0)
     tr = Trainer(problem, M=M, N=N, layers=LAYERS, mode="FC",
                  activation="Sine", seed=0)
-    tr.train(CHUNK, 1e-3, "Adam", log_every=CHUNK, verbose=False)  # compile
+    tr.train(iters, 1e-3, "Adam", log_every=iters, verbose=False)  # compile
     t0 = time.perf_counter()
-    res = tr.train(iters, 1e-3, "Adam", log_every=CHUNK, verbose=False)
+    res = tr.train(iters, 1e-3, "Adam", log_every=iters, verbose=False)
     _ = float(res.graph[1][-1])  # host read sync
     dt = time.perf_counter() - t0
     return iters / dt, tr
 
 
 # ------------------------------------------------------------------ RNG probe
-def rng_gen_us_per_iter(M: int, k: int = 100) -> float:
+def rng_gen_us_per_iter(M: int, k: int = 1000) -> float:
     from dnnpde_tpu.sim.brownian import brownian_increments
 
     @jax.jit
@@ -264,7 +266,7 @@ def main() -> None:
     if args.only_m is not None:
         Ms = [args.only_m]
     for M in Ms:
-        iters = 500 if M <= 512 else 200
+        iters = 2000 if M <= 512 else (1000 if M <= 2048 else 400)
         ips, trainer = time_train(M, iters)
         flops = per_iter_flops(M)
         tflops = ips * flops / 1e12

@@ -86,3 +86,25 @@ def test_sensitivity_executor_uses_ensemble(monkeypatch):
     ).execute(num_real_samples=3, num_simulated_samples=50)
     assert calls == [3]  # one call, three members
     assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_ensemble_mesh_sharded_matches_unsharded():
+    """Member axis sharded over dp: same keys, same math — population
+    training scales across chips with zero collectives."""
+    from dnnpde_tpu.parallel import make_mesh
+
+    prob = BlackScholesBarenblatt(D=4)
+    kw = dict(n_members=8, n_iter=20, M=16, N=4,
+              layers=[5, 16, 16, 16, 16, 1], learning_rates=1e-3, seed=2)
+    plain = train_ensemble(prob, **kw)
+    sharded = train_ensemble(prob, mesh=make_mesh(8), **kw)
+    np.testing.assert_allclose(plain.losses, sharded.losses, rtol=1e-4)
+
+
+def test_ensemble_mesh_divisibility_error():
+    from dnnpde_tpu.parallel import make_mesh
+
+    prob = BlackScholesBarenblatt(D=4)
+    with pytest.raises(ValueError, match="divisible"):
+        train_ensemble(prob, n_members=3, n_iter=2, M=8, N=2,
+                       layers=[5, 8, 8, 1], mesh=make_mesh(8))

@@ -60,7 +60,47 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         print(f"{name}: {dt*1e3:.1f} ms -> {M/dt:,.0f} paths/s (D={D}, N={N})")
+
+    verify_mlp_kernels()
     print("ALL KERNEL CHECKS PASSED")
+
+
+def verify_mlp_kernels() -> None:
+    """Fused MLP (u, ∇ₓu) fwd/bwd kernels vs the jnp reference, ON CHIP
+    (bf16-operand tolerance; see ops/mlp_kernel.py)."""
+    from dnnpde_tpu.ops.fused_net_u import _fused_bwd, mlp_u_z
+    from dnnpde_tpu.ops.mlp_kernel import mlp_u_z_bwd_pallas, mlp_u_z_fwd_pallas
+
+    layers = [101, 256, 256, 256, 256, 1]
+    key = jax.random.PRNGKey(0)
+    Ws, bs = [], []
+    for i in range(len(layers) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        Ws.append(
+            jax.random.normal(k1, (layers[i], layers[i + 1]))
+            / np.sqrt(layers[i])
+        )
+        bs.append(jax.random.normal(k2, (layers[i + 1],)) * 0.1)
+    Ws, bs = tuple(Ws), tuple(bs)
+    B = 2048
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, layers[0]))
+    u_ref, z_ref = mlp_u_z(Ws, bs, x)
+    u_k, z_k = mlp_u_z_fwd_pallas(Ws, bs, x)
+    du = float(jnp.max(jnp.abs(u_k - u_ref)))
+    dz = float(jnp.max(jnp.abs(z_k - z_ref)))
+    print(f"mlp fwd kernel: |Δu| {du:.2e}, |ΔZ| {dz:.2e} (bf16 tol 2e-2)")
+    assert du < 2e-2 and dz < 2e-2
+
+    u_bar = jax.random.normal(jax.random.PRNGKey(6), (B, 1))
+    z_bar = jax.random.normal(jax.random.PRNGKey(7), (B, layers[0]))
+    ref = _fused_bwd("sine", (Ws, bs, x), (u_bar, z_bar))
+    got = mlp_u_z_bwd_pallas(Ws, bs, x, u_bar, z_bar)
+    worst = 0.0
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        worst = max(worst, float(jnp.max(jnp.abs(a - b))) / scale)
+    print(f"mlp bwd kernel: worst grad rel err {worst:.2e} (bf16 tol 3e-2)")
+    assert worst < 3e-2
 
 
 if __name__ == "__main__":

@@ -116,13 +116,16 @@ def best_accuracy():
 
 
 def canonical():
+    # long chunks: one host read per 2000 iters — a blocking read through
+    # the tunnel costs ~42 ms, which log_every=250 paid 88 times (~4 s)
     p, tr = _setup()
-    tr.train(250, 1e-3, log_every=250, verbose=False)
+    tr.train(2000, 1e-3, log_every=2000, verbose=False)
     t0 = time.perf_counter()
-    tr.train(20000, 1e-3, log_every=250, verbose=False)
-    tr.train(2000, 1e-5, log_every=250, verbose=False)
+    tr.train(20000, 1e-3, log_every=2000, verbose=False)
+    tr.train(2000, 1e-5, log_every=2000, verbose=False)
     y0 = tr.y0_log[-1]
-    _emit(config="100D BSB FC-Sine, canonical 20000@1e-3 + 2000@1e-5",
+    _emit(config="100D BSB FC-Sine, canonical 20000@1e-3 + 2000@1e-5 "
+                 "(timed after a 2000-iter compile warmup)",
           wall_time_s=round(time.perf_counter() - t0, 1),
           learned_y0=y0, exact_y0=_exact(p),
           rel_error=abs(y0 - _exact(p)) / _exact(p))

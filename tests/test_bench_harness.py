@@ -1,0 +1,38 @@
+"""Bench-harness API tests (tiny budgets, CPU backend)."""
+
+import numpy as np
+
+from dnnpde_tpu.bench import bench_bsb_100d, bench_call_1d
+from dnnpde_tpu.bench.harness import _run
+from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+
+def test_run_accepts_phase_lists():
+    p = BlackScholesBarenblatt(D=3)
+    row = _run(
+        "tiny", p, 1.0, M=8, N=3, phases=((4, 1e-3), (2, 1e-4), (2, 1e-5)),
+        layers=[4, 8, 8, 1],
+    )
+    assert row.config["phases"] == [[4, 1e-3], [2, 1e-4], [2, 1e-5]]
+    assert np.isfinite(row.learned_y0)
+    assert row.iters_per_sec > 0
+
+
+def test_run_legacy_two_phase_form():
+    p = BlackScholesBarenblatt(D=3)
+    row = _run(
+        "tiny", p, 1.0, M=8, N=3, iters=(4, 2), lrs=(1e-3, 1e-5),
+        layers=[4, 8, 8, 1],
+    )
+    assert row.config["phases"] == [[4, 1e-3], [2, 1e-5]]
+
+
+def test_bench_defaults_are_config_only():
+    """bench_call_1d's canonical default must be the four-phase anneal; the
+    two-phase override must pass through (no training here — config check
+    via the documented phases)."""
+    import inspect
+
+    src = inspect.getsource(bench_call_1d)
+    assert "5000, 1e-3" in src and "5000, 1e-6" in src
+    assert bench_bsb_100d.__defaults__[0] is None  # iters=None -> own default

@@ -7,6 +7,11 @@ from dnnpde_tpu.parallel.model_sharding import (
     shard_params_tp,
     tp_sharding_summary,
 )
+from dnnpde_tpu.parallel.distributed import (
+    global_device_summary,
+    init_distributed,
+    is_multi_host,
+)
 from dnnpde_tpu.parallel.shard_map_step import make_shard_map_train_step
 from dnnpde_tpu.parallel.mesh import (
     DP_AXIS,
@@ -28,4 +33,7 @@ __all__ = [
     "shard_params_tp",
     "tp_sharding_summary",
     "make_shard_map_train_step",
+    "global_device_summary",
+    "init_distributed",
+    "is_multi_host",
 ]

@@ -1,0 +1,149 @@
+"""Multi-process distributed training, exercised for real.
+
+The reference has no distributed runtime at all (SURVEY.md §2.6; its whole
+device layer is ``1d_BSPDE_case.py:143-148``). This framework's multi-host
+story is ``parallel/distributed.py::init_distributed`` + the existing global
+mesh: after every process calls ``jax.distributed.initialize``, ``jax.devices()``
+spans all processes and ``Trainer(mesh=make_mesh(...))`` works unchanged,
+with the loss/grad reductions becoming cross-process collectives (gloo on
+CPU here; ICI/DCN on a TPU pod).
+
+These tests spawn REAL worker processes (2 processes × 2 virtual CPU devices
+each → one 4-device global mesh) and assert
+
+  1. both processes execute the training chunk in lockstep and report the
+     same loss trajectory, and
+  2. that trajectory matches a single-process 4-device run with the same
+     seed to float tolerance — the distributed data-parallel step is the
+     same computation, just laid out across processes.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
+
+pytestmark = pytest.mark.slow  # spawns real worker processes (one-time ~3 min)
+
+# Training configuration shared by the worker processes and the in-process
+# single-host reference run. Tiny on purpose: the point is the process
+# topology, not the optimization.
+CONFIG = dict(D=4, M=8, N=4, layers=[5, 16, 16, 1], iters=4, seed=0)
+
+WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dnnpde_tpu.parallel import global_device_summary, init_distributed, is_multi_host
+    init_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert is_multi_host(), "expected >1 process after init_distributed"
+    from dnnpde_tpu.parallel import make_mesh
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    cfg = json.loads(os.environ["DNNPDE_DIST_TEST_CONFIG"])
+    mesh = make_mesh(2 * nproc)
+    trainer = Trainer(
+        BlackScholesBarenblatt(D=cfg["D"], T=1.0),
+        M=cfg["M"], N=cfg["N"], layers=cfg["layers"],
+        mode="FC", activation="Sine", mesh=mesh, seed=cfg["seed"],
+    )
+    res = trainer.train(cfg["iters"], 1e-3, "Adam", log_every=2, verbose=False)
+    print("RESULT " + json.dumps({
+        "pid": pid,
+        "summary": global_device_summary(),
+        "losses": [float(x) for x in res.graph[1]],
+    }), flush=True)
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(nproc: int) -> list[dict]:
+    port = _free_port()
+    env = dict(
+        __import__("os").environ,
+        DNNPDE_DIST_TEST_CONFIG=json.dumps(CONFIG),
+        PYTHONPATH=REPO_ROOT,
+    )
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), str(nproc), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=REPO_ROOT,
+        )
+        for pid in range(nproc)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed (rc={p.returncode}):\n{err[-3000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"worker produced no RESULT line:\n{out}\n{err[-2000:]}"
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+    return results
+
+
+@pytest.fixture(scope="module")
+def dist_results():
+    return _run_workers(nproc=2)
+
+
+def test_two_processes_form_one_global_mesh(dist_results):
+    for r in dist_results:
+        assert r["summary"]["process_count"] == 2
+        assert r["summary"]["local_devices"] == 2
+        assert r["summary"]["global_devices"] == 4
+
+
+def test_processes_agree_on_loss_trajectory(dist_results):
+    losses = [r["losses"] for r in dist_results]
+    assert len(losses[0]) >= 2
+    np.testing.assert_allclose(losses[0], losses[1], rtol=0, atol=0)
+
+
+def test_distributed_matches_single_process(dist_results):
+    """Same seed, same 4-device mesh → same training trajectory whether the
+    devices live in one process or two."""
+    from dnnpde_tpu.parallel import make_mesh
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    mesh = make_mesh(4)
+    trainer = Trainer(
+        BlackScholesBarenblatt(D=CONFIG["D"], T=1.0),
+        M=CONFIG["M"], N=CONFIG["N"], layers=CONFIG["layers"],
+        mode="FC", activation="Sine", mesh=mesh, seed=CONFIG["seed"],
+    )
+    res = trainer.train(CONFIG["iters"], 1e-3, "Adam", log_every=2, verbose=False)
+    np.testing.assert_allclose(
+        res.graph[1], dist_results[0]["losses"], rtol=1e-5
+    )

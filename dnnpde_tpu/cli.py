@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard paths over this many devices (0 = single)")
     p.add_argument("--checkpoint", default=None,
                    help="save final model/optimizer state here")
+    p.add_argument("--export", default=None, metavar="PATH",
+                   help="after training, export the solution as a portable "
+                        "cpu+tpu StableHLO serving artifact (weights baked, "
+                        "symbolic batch; see dnnpde_tpu.serve)")
     p.add_argument("--resume", default=None, help="load checkpoint before training")
     p.add_argument("--out", default="results", help="output directory")
     p.add_argument("--log-every", type=int, default=100)
@@ -185,6 +189,10 @@ def main(argv=None) -> int:
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     if args.checkpoint:
         trainer.save_model(args.checkpoint)
+    if args.export:
+        from dnnpde_tpu.serve import save_solution
+
+        save_solution(args.export, trainer)
     print(json.dumps(summary))
     return 0
 

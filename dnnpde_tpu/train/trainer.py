@@ -113,6 +113,7 @@ class Trainer:
         track_best: bool = False,
         metrics_file: Optional[str] = None,
         dtype=jnp.float32,
+        net_kwargs: Optional[dict] = None,
     ):
         self.problem = problem
         self.M = int(M)
@@ -143,7 +144,10 @@ class Trainer:
                 remat=act_bytes > 4e9, stochastic_net=stochastic
             )
         self.config = solver_config
-        self.net = build_network(mode, self.layers, activation)
+        # net_kwargs passes init policies through to the network factory —
+        # e.g. the reference's Heston init gain=0.5 (heston_dnnpde.py:580-585)
+        # via net_kwargs={"gain": 0.5}.
+        self.net = build_network(mode, self.layers, activation, **(net_kwargs or {}))
 
         if correlation_type == "no_correlation":
             self.chol = None

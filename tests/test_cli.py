@@ -49,3 +49,21 @@ def test_cli_end_to_end(tmp_path):
     assert summary["rel_error"] is not None
     assert (tmp_path / "m.bin").exists()
     assert any(f.suffix == ".png" for f in tmp_path.iterdir())
+
+
+def test_cli_export_serving_artifact(tmp_path):
+    """--export writes a loadable StableHLO artifact of the trained solution."""
+    art = tmp_path / "sol.stablehlo"
+    rc = main([
+        "--problem", "call1d", "--D", "1", "--M", "8", "--N", "3",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+        "--export", str(art),
+    ])
+    assert rc == 0 and art.exists()
+    from dnnpde_tpu.serve import load_solution
+
+    sol = load_solution(str(art))
+    u, Z = sol.u_and_grad(0.0, np.ones((3, 1)))
+    assert u.shape == (3, 1) and Z.shape == (3, 1)
+    assert np.isfinite(u).all() and np.isfinite(Z).all()

@@ -338,6 +338,21 @@ def test_lbfgs_lr_change_recompiles():
     assert set(tr._chunk_cache) != keys_before  # new (lr-keyed) chunk
 
 
+def test_trainer_net_kwargs_gain():
+    """net_kwargs reaches the network factory — e.g. the reference's Heston
+    init gain=0.5 (heston_dnnpde.py:580-585) halves the Xavier bound."""
+    p = BlackScholesBarenblatt(D=3, T=1.0)
+    kwargs = dict(M=4, N=2, layers=[4, 64, 64, 1], mode="FC",
+                  activation="Sine", seed=0)
+    t1 = Trainer(p, **kwargs)
+    t05 = Trainer(p, net_kwargs={"gain": 0.5}, **kwargs)
+    k1 = [x for x in jax.tree_util.tree_leaves(t1.params) if x.ndim == 2][0]
+    k05 = [x for x in jax.tree_util.tree_leaves(t05.params) if x.ndim == 2][0]
+    assert np.abs(np.asarray(k05)).max() <= 0.55 * np.abs(np.asarray(k1)).max()
+    res = t05.train(2, 1e-3, "Adam", log_every=2, verbose=False)
+    assert np.isfinite(res.graph[1]).all()
+
+
 def test_basket_weights_length_validated():
     from dnnpde_tpu.pde import BasketCallOption
 

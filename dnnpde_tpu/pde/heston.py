@@ -44,6 +44,16 @@ class HestonPDE(PDEProblem):
     payoff_type: str = "discontinuous"  # or "continuous" (sigmoid-smoothed)
     smoothing_alpha: float = 10.0
     clamp_bound: float = 100.0
+    # Reference semantics clamp the network output to u ≥ 0 during training
+    # (heston_dnnpde.py:568). The clamp has an ABSORBING state: if training
+    # drives u all-negative, max(u, 0) zeroes u, Z, φ=rY AND every gradient
+    # (measured: ~1/3 of 20k-iteration anneals collapse to u≡0 — the same
+    # mode as the reference's degenerate M=2 run). clamp_output=False removes
+    # the training-time clamp — measured: 0/5 collapses across seeds and
+    # M ∈ {128,256,512} (vs ~1/3 clamped), at the cost of a 2.4–5.3% low
+    # bias at the 20k-iteration budget (clamped non-collapsed runs reach
+    # 0.75–1.9%); see BENCH_REPORT_r2.jsonl "heston_clamp_tradeoff".
+    clamp_output: bool = True
     name: str = "Heston"
 
     @property
@@ -56,7 +66,7 @@ class HestonPDE(PDEProblem):
 
     @property
     def clamp_u(self) -> Optional[float]:
-        return 0.0
+        return 0.0 if self.clamp_output else None
 
     @property
     def z_penalty_mask(self) -> Optional[Array]:

@@ -128,6 +128,27 @@ def test_clamped_net_u_zero_gradient_region(rng_key):
     assert np.allclose(np.asarray(Z), 0.0)
 
 
+def test_heston_clamp_output_opt_out(rng_key):
+    """clamp_output=False removes the training-time clamp: u can be negative
+    and gradients do NOT vanish in the region where the clamped problem's
+    u≡0 absorbing state lives (the measured ~1/3 collapse mode of long
+    anneals — see heston.py docstring)."""
+    p_off = HestonPDE(clamp_output=False)
+    assert p_off.clamp_u is None
+    assert HestonPDE().clamp_u == 0.0
+    net, params = _setup(p_off)
+    net_u = make_net_u(net, p_off.clamp_u)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    idx = [i for i, l in enumerate(leaves) if l.shape == (1,)][-1]
+    leaves[idx] = leaves[idx] - 1e3
+    params_neg = jax.tree_util.tree_unflatten(treedef, leaves)
+    t = jnp.zeros((4, 1))
+    X = jnp.abs(jax.random.normal(rng_key, (4, 2))) + 0.5
+    u, Z = net_u(params_neg, t, X)
+    assert (np.asarray(u) < 0.0).all()  # no clamp
+    assert np.abs(np.asarray(Z)).max() > 0.0  # gradients alive
+
+
 def test_loss_gradient_nonzero(rng_key):
     problem = CallOption1D()
     net, params = _setup(problem)

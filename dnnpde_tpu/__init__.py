@@ -28,6 +28,8 @@ Layout (mirrors SURVEY.md §7):
 - ``numerics`` — classical pricers / ground-truth oracles
 - ``evals``    — prediction sampling, metrics, stability, sensitivity, plots
 - ``bench``    — tolerance-gated benchmark harness
+- ``serve``    — portable StableHLO serving artifacts (jax.export)
+- ``runtime``  — persistent compilation cache helpers
 """
 
 __version__ = "0.1.0"

@@ -135,7 +135,12 @@ def oracle_y0(problem, args) -> float | None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from dnnpde_tpu.evals import PredictionGenerator, TrainingPlot
+    from dnnpde_tpu.runtime import maybe_enable_compilation_cache_from_env
     from dnnpde_tpu.train import Trainer
+
+    # DNNPDE_COMPILATION_CACHE=<dir> makes repeat CLI runs start warm
+    # (the chunk program deserializes instead of recompiling)
+    maybe_enable_compilation_cache_from_env()
 
     problem = make_problem(args)
     mesh = None

@@ -134,14 +134,17 @@ class Trainer:
 
         stochastic = mode.lower() == "sdenet"
         if solver_config is None:
-            # Auto remat policy: rematerializing the scan body costs ~25%
-            # throughput (measured, 100D BSB on v5e) and only pays off when
-            # the stored rollout activations threaten HBM. Rough footprint:
-            # N steps × M paths × width × (#activation arrays) × 4 bytes.
+            # Auto remat policy: rematerializing the scan body costs ~35%
+            # throughput at small batch (M=100: 1341 no-remat vs 840 remat
+            # it/s, 100D BSB on v5e) but WINS once the no-remat activation
+            # stash makes the step bandwidth-bound (M=2048: 91.9 remat vs
+            # 88.5 no-remat with the slim scan carry). Rough footprint:
+            # N steps × M paths × width × (#activation arrays) × 4 bytes;
+            # the measured crossover neighborhood is ~1 GB.
             width = max(self.layers)
             act_bytes = self.N * self.M * width * (2 * len(self.layers)) * 4
             solver_config = SolverConfig(
-                remat=act_bytes > 4e9, stochastic_net=stochastic
+                remat=act_bytes > 1e9, stochastic_net=stochastic
             )
         self.config = solver_config
         # net_kwargs passes init policies through to the network factory —

@@ -22,7 +22,7 @@ the *current* weights, not a reparametrized copy).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -35,12 +35,20 @@ _EPSILON = 0.01  # NAIS-Net stability margin (reference Functions/naisnet.py:27)
 
 
 class Dense(nn.Module):
-    """Linear layer with Xavier-uniform weights (reference ``weights_init``)."""
+    """Linear layer with Xavier-uniform weights (reference ``weights_init``).
+
+    ``dtype`` is the *compute* dtype (params stay float32): bf16 here runs
+    the matmul at the MXU's double rate on TPU. Hidden activations are O(1)
+    (sine/tanh), so bf16's ~3 significant digits cost ≈0.2% relative noise
+    per value that averages out across the 256-wide head reduction — the
+    output head must stay f32 (see ``MLP.compute_dtype``).
+    """
 
     features: int
     use_bias: bool = True
     gain: float = 1.0
     bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,6 +57,8 @@ class Dense(nn.Module):
             use_bias=self.use_bias,
             kernel_init=xavier_uniform(self.gain),
             bias_init=self.bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
 
 
@@ -62,12 +72,22 @@ class MLP(nn.Module):
     layers: Sequence[int]
     activation: str | Activation = "sine"
     gain: float = 1.0
+    # Compute dtype of the HIDDEN matmuls (params and the output head stay
+    # f32). "bfloat16" doubles the MXU rate on TPU; u ≈ O(10-100) for the
+    # finance problems, so the head's wide f32 reduction keeps the output's
+    # absolute error small while hidden bf16 noise (~0.2% on O(1)
+    # activations) averages out. Measured accuracy/throughput tradeoff:
+    # BENCH_REPORT_r2.jsonl "mixed_precision".
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = get_activation(self.activation)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         for width in self.layers[1:-1]:
-            x = act(Dense(width, gain=self.gain)(x))
+            x = act(Dense(width, gain=self.gain, dtype=dt)(x))
+        if dt is not None:
+            x = x.astype(jnp.float32)
         return Dense(self.layers[-1], gain=self.gain)(x)
 
 
@@ -96,6 +116,7 @@ class _StableBlockDense(nn.Module):
 
     features: int
     gain: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -105,7 +126,12 @@ class _StableBlockDense(nn.Module):
             "kernel", xavier_uniform(self.gain), (x.shape[-1], self.features)
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        # The projection itself stays f32 (one small 256³ matmul + norm);
+        # only the batch matmul drops to the compute dtype.
         a = _nais_project(kernel)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            a = a.astype(self.dtype)
         return -(x @ a) + bias
 
 
@@ -124,20 +150,24 @@ class ResNet(nn.Module):
     stable: bool = True
     activation: str | Activation = "sine"
     gain: float = 1.0
+    compute_dtype: Any = None  # hidden-matmul dtype; see MLP.compute_dtype
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = get_activation(self.activation)
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         u = x
-        out = act(Dense(self.layers[1], gain=self.gain)(x))
+        out = act(Dense(self.layers[1], gain=self.gain, dtype=dt)(x))
         for width in self.layers[2:-1]:
             shortcut = out
             if self.stable:
-                out = _StableBlockDense(width, gain=self.gain)(out)
-                out = out + Dense(width, gain=self.gain)(u)
+                out = _StableBlockDense(width, gain=self.gain, dtype=dt)(out)
+                out = out + Dense(width, gain=self.gain, dtype=dt)(u)
             else:
-                out = Dense(width, gain=self.gain)(out)
+                out = Dense(width, gain=self.gain, dtype=dt)(out)
             out = act(out) + shortcut
+        if dt is not None:
+            out = out.astype(jnp.float32)
         return Dense(self.layers[-1], gain=self.gain)(out)
 
 
@@ -171,14 +201,16 @@ class SDENet(nn.Module):
     h: float = 0.1
     eps: float = 1e-4
     deterministic: bool = False
+    compute_dtype: Any = None  # hidden-matmul dtype; see MLP.compute_dtype
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = get_activation(self.activation)
-        out = act(Dense(self.layers[1], gain=self.gain)(x))
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        out = act(Dense(self.layers[1], gain=self.gain, dtype=dt)(x))
         for i, width in enumerate(self.layers[2:-1]):
             shortcut = out
-            out = Dense(width, gain=self.gain)(out)
+            out = Dense(width, gain=self.gain, dtype=dt)(out)
             # Brownian scaling: bias-free (width, 1) kernel K; A = KKᵀ + εI.
             bk = self.param(
                 f"brownian_kernel_{i}",
@@ -191,6 +223,8 @@ class SDENet(nn.Module):
             else:
                 noise = jax.random.uniform(self.make_rng("sde"), shortcut.shape)
             out = shortcut + self.h * act(out) + jnp.sqrt(self.h) * (noise @ a)
+        if dt is not None:
+            out = out.astype(jnp.float32)
         return Dense(self.layers[-1], gain=self.gain)(out)
 
 
@@ -205,11 +239,13 @@ class VerletNet(nn.Module):
     layers: Sequence[int]
     activation: str | Activation = "sine"
     gain: float = 1.0
+    compute_dtype: Any = None  # hidden-matmul dtype; see MLP.compute_dtype
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = get_activation(self.activation)
-        out = act(Dense(self.layers[1], gain=self.gain)(x))
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        out = act(Dense(self.layers[1], gain=self.gain, dtype=dt)(x))
         z = jnp.zeros_like(out)
         for i, width in enumerate(self.layers[2:-1]):
             if width != out.shape[-1]:
@@ -224,11 +260,14 @@ class VerletNet(nn.Module):
                 nn.initializers.zeros_init(),
                 (width,),
             )
+            k = kernel.astype(dt) if dt is not None else kernel
             shortcut = out
-            out = out @ kernel.T + bias  # transposed application
+            out = (out.astype(dt) if dt is not None else out) @ k.T + bias
             z = z - act(out)
-            out = z @ kernel + bias
+            out = (z.astype(dt) if dt is not None else z) @ k + bias
             out = shortcut + act(out)
+        if dt is not None:
+            out = out.astype(jnp.float32)
         return Dense(self.layers[-1], gain=self.gain)(out)
 
 

@@ -137,12 +137,19 @@ class Trainer:
             # Auto remat policy: rematerializing the scan body costs ~35%
             # throughput at small batch (M=100: 1341 no-remat vs 840 remat
             # it/s, 100D BSB on v5e) but WINS once the no-remat activation
-            # stash makes the step bandwidth-bound (M=2048: 91.9 remat vs
+            # stash makes the step bandwidth-bound (M=2048 f32: 91.9 remat vs
             # 88.5 no-remat with the slim scan carry). Rough footprint:
-            # N steps × M paths × width × (#activation arrays) × 4 bytes;
-            # the measured crossover neighborhood is ~1 GB.
+            # N steps × M paths × width × (#activation arrays) × itemsize;
+            # the measured crossover neighborhood is ~1 GB. bf16 hidden
+            # compute halves the stash, pushing the crossover out 2×
+            # (M=2048 bf16: 102.2 no-remat vs 86.4 remat it/s).
             width = max(self.layers)
-            act_bytes = self.N * self.M * width * (2 * len(self.layers)) * 4
+            act_itemsize = jnp.dtype(
+                (net_kwargs or {}).get("compute_dtype") or self.dtype
+            ).itemsize
+            act_bytes = (
+                self.N * self.M * width * (2 * len(self.layers)) * act_itemsize
+            )
             solver_config = SolverConfig(
                 remat=act_bytes > 1e9, stochastic_net=stochastic
             )

@@ -106,3 +106,40 @@ def test_xavier_init_scale(rng_key):
         # uniform on [-b, b] has std b/sqrt(3); check within 15%
         std = np.asarray(k).std()
         assert abs(std - bound / np.sqrt(3)) / (bound / np.sqrt(3)) < 0.2
+
+
+@pytest.mark.parametrize("mode", ["FC", "Naisnet", "Resnet", "Verlet", "SDEnet"])
+def test_compute_dtype_bf16_hidden_f32_boundary(mode, rng_key):
+    """compute_dtype='bfloat16' runs hidden matmuls in bf16 but keeps params
+    and the output head f32, and tracks the f32 net within bf16 noise."""
+    from dnnpde_tpu.nets import build_network
+
+    layers = [11, 32, 32, 32, 32, 1]
+    kwargs = dict(deterministic=True) if mode == "SDEnet" else {}
+    net16 = build_network(mode, layers, "Sine", compute_dtype="bfloat16", **kwargs)
+    net32 = build_network(mode, layers, "Sine", **kwargs)
+    rngs = {"params": rng_key}
+    if mode == "SDEnet":
+        rngs["sde"] = jax.random.PRNGKey(1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 11))
+    p = net16.init(rngs, x)
+    assert all(leaf.dtype == jnp.float32 for leaf in jax.tree_util.tree_leaves(p))
+    y16 = net16.apply(p, x)
+    y32 = net32.apply(p, x)
+    assert y16.dtype == jnp.float32
+    # bf16 hidden noise is ~0.4% relative per activation; outputs stay close
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), rtol=0.05, atol=0.05)
+
+
+def test_trainer_bf16_compute_dtype_trains(rng_key):
+    """Trainer(net_kwargs={'compute_dtype': 'bfloat16'}) steps to finite loss."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    prob = BlackScholesBarenblatt(D=4)
+    tr = Trainer(
+        prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], mode="FC", seed=0,
+        net_kwargs={"compute_dtype": "bfloat16"},
+    )
+    res = tr.train(6, 1e-3, log_every=3, verbose=False)
+    assert np.isfinite(res.graph[1]).all()

@@ -358,3 +358,19 @@ def test_basket_weights_length_validated():
 
     with pytest.raises(ValueError):
         BasketCallOption(D=3, weights=(0.5,))
+
+
+def test_auto_remat_policy_is_dtype_aware():
+    """bf16 hidden compute halves the activation stash, so the auto-remat
+    crossover moves out 2x (measured: M=2048 f32 wants remat, bf16 does not)."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    prob = BlackScholesBarenblatt(D=100)
+    layers = [101, 256, 256, 256, 256, 1]
+    f32 = Trainer(prob, M=2048, N=50, layers=layers, mode="FC", seed=0)
+    bf16 = Trainer(prob, M=2048, N=50, layers=layers, mode="FC", seed=0,
+                   net_kwargs={"compute_dtype": "bfloat16"})
+    small = Trainer(prob, M=100, N=50, layers=layers, mode="FC", seed=0)
+    assert f32.config.remat
+    assert not bf16.config.remat
+    assert not small.config.remat

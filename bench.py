@@ -30,7 +30,8 @@ TORCH_WARMUP_ITERS = 3
 TORCH_BASELINE_ITERS = 20
 
 
-def bench_tpu(batch: int = M, iters: int = BENCH_ITERS, chunk: int = CHUNK) -> float:
+def bench_tpu(batch: int = M, iters: int = BENCH_ITERS, chunk: int = CHUNK,
+              net_kwargs: dict | None = None) -> float:
     """Our framework: iterations/sec for the full jitted train step."""
     from dnnpde_tpu.pde import BlackScholesBarenblatt
     from dnnpde_tpu.train import Trainer
@@ -38,7 +39,7 @@ def bench_tpu(batch: int = M, iters: int = BENCH_ITERS, chunk: int = CHUNK) -> f
     problem = BlackScholesBarenblatt(D=D, T=1.0)
     trainer = Trainer(
         problem, M=batch, N=N, layers=[D + 1, 256, 256, 256, 256, 1],
-        mode="FC", activation="Sine", seed=0,
+        mode="FC", activation="Sine", seed=0, net_kwargs=net_kwargs,
     )
     # Warmup: compile the chunked training scan. The chunk program is keyed
     # on its length, so warm up with the SAME log_every used for timing.
@@ -126,6 +127,12 @@ def main() -> None:
         ips = bench_tpu(batch=batch, iters=iters, chunk=iters)
         extra[f"m{batch}_iters_per_sec"] = round(ips, 1)
         extra[f"m{batch}_path_steps_per_sec"] = round(ips * batch * N)
+    # Best-known large-batch config: bf16 hidden compute (accuracy held at
+    # the canonical budget — BENCH_REPORT_r2.jsonl "mixed_precision").
+    ips = bench_tpu(batch=2048, iters=500, chunk=500,
+                    net_kwargs={"compute_dtype": "bfloat16"})
+    extra["m2048_bf16_iters_per_sec"] = round(ips, 1)
+    extra["m2048_bf16_path_steps_per_sec"] = round(ips * 2048 * N)
     try:
         baseline = bench_torch_reference_style()
     except Exception:

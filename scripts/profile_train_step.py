@@ -100,8 +100,11 @@ def one_iter_flops(M: int, n_steps: int) -> float:
     problem = BlackScholesBarenblatt(D=D, T=1.0)
     net = build_network("FC", LAYERS, "Sine")
     params = net.init(jax.random.PRNGKey(0), jnp.ones((1, D + 1)))
-    # remat=False matches the Trainer's auto policy at these sizes and keeps
-    # the counted graph identical to what runs.
+    # remat=False counts the ALGORITHMIC FLOPs (no recompute); the Trainer's
+    # auto policy enables remat above ~1 GB of stash (M≥2048 f32 at this
+    # geometry), where the executed program does ~1 extra forward of
+    # recompute — achieved-TFLOP/s rows therefore understate device FLOPs
+    # for remat configs.
     loss_fn = make_loss_fn(problem, net, SolverConfig(remat=False))
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
@@ -142,15 +145,16 @@ def per_iter_flops(M: int) -> float:
 
 
 # ------------------------------------------------------------------- timing
-def time_train(M: int, iters: int):
+def time_train(M: int, iters: int, bf16: bool = False):
     """One chunk = one dispatch + one host read (~45 ms through the tunnel);
     timing a single long chunk keeps that constant under ~5%."""
     from dnnpde_tpu.pde import BlackScholesBarenblatt
     from dnnpde_tpu.train import Trainer
 
     problem = BlackScholesBarenblatt(D=D, T=1.0)
+    net_kwargs = {"compute_dtype": "bfloat16"} if bf16 else None
     tr = Trainer(problem, M=M, N=N, layers=LAYERS, mode="FC",
-                 activation="Sine", seed=0)
+                 activation="Sine", seed=0, net_kwargs=net_kwargs)
     tr.train(iters, 1e-3, "Adam", log_every=iters, verbose=False)  # compile
     t0 = time.perf_counter()
     res = tr.train(iters, 1e-3, "Adam", log_every=iters, verbose=False)
@@ -253,10 +257,13 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true", help="skip M=8192")
     ap.add_argument("--only-m", type=int, default=None,
                     help="profile a single batch size")
+    ap.add_argument("--bf16", action="store_true",
+                    help="net hidden compute in bf16 (params/head f32)")
     ap.add_argument("--out", default=str(REPO / "results_r2" / "profile_summary.json"))
     args = ap.parse_args()
 
-    out: dict = {"config": {"N": N, "D": D, "layers": LAYERS, "chunk": CHUNK},
+    out: dict = {"config": {"N": N, "D": D, "layers": LAYERS, "chunk": CHUNK,
+                            "bf16": args.bf16},
                  "platform": jax.devices()[0].platform,
                  "device": str(jax.devices()[0])}
     out["matmul_ceiling_tflops_bf16_4096"] = round(matmul_ceiling_tflops(), 1)
@@ -267,7 +274,7 @@ def main() -> None:
         Ms = [args.only_m]
     for M in Ms:
         iters = 2000 if M <= 512 else (1000 if M <= 2048 else 400)
-        ips, trainer = time_train(M, iters)
+        ips, trainer = time_train(M, iters, bf16=args.bf16)
         flops = per_iter_flops(M)
         tflops = ips * flops / 1e12
         row = {

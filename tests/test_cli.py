@@ -67,3 +67,16 @@ def test_cli_export_serving_artifact(tmp_path):
     u, Z = sol.u_and_grad(0.0, np.ones((3, 1)))
     assert u.shape == (3, 1) and Z.shape == (3, 1)
     assert np.isfinite(u).all() and np.isfinite(Z).all()
+
+
+def test_cli_compute_dtype_flag(tmp_path):
+    """--compute-dtype bfloat16 threads through to the net (params stay f32)."""
+    rc = main([
+        "--problem", "call1d", "--D", "1", "--M", "8", "--N", "3",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+        "--compute-dtype", "bfloat16",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert np.isfinite(summary["learned_y0"])

@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="net hidden-matmul dtype (e.g. bfloat16; params and "
                         "the output head stay f32) — measured +15%% "
                         "throughput at large batch with accuracy held")
+    p.add_argument("--antithetic", action="store_true",
+                   help="antithetic (dW, -dW) training minibatches — "
+                        "variance-reduced loss/gradient estimator (even M)")
+    p.add_argument("--ema-decay", type=float, default=None, metavar="DECAY",
+                   help="Polyak/EMA parameter averaging (e.g. 0.999); the "
+                        "summary reports the EMA-evaluated Y0 alongside the "
+                        "raw one")
     p.add_argument("--dp", type=int, default=0,
                    help="shard paths over this many devices (0 = single)")
     p.add_argument("--checkpoint", default=None,
@@ -161,6 +168,8 @@ def main(argv=None) -> int:
         net_kwargs=(
             {"compute_dtype": args.compute_dtype} if args.compute_dtype else None
         ),
+        antithetic=args.antithetic,
+        ema_decay=args.ema_decay,
     )
     if args.resume:
         trainer.load_model(args.resume)
@@ -186,11 +195,21 @@ def main(argv=None) -> int:
     # methodology as the bench harness)
     fine_logs = max(1, args.iters[1] // args.log_every)
     learned = float(np.mean(trainer.y0_log[-min(3, fine_logs):]))
+    ema_y0 = None
+    if args.ema_decay is not None:
+        import jax.numpy as jnp
+
+        u, _ = trainer.net_u(
+            trainer.ema_params, jnp.zeros((1, 1)),
+            jnp.asarray(problem.x0)[None, :],
+        )
+        ema_y0 = float(u[0, 0])
     summary = {
         "problem": args.problem, "D": problem.dim, "M": args.M, "N": args.N,
         "mode": args.mode, "activation": args.activation,
         "optimizer": args.optimizer,
         "learned_y0": learned,
+        "ema_y0": ema_y0,
         "oracle_y0": exact,
         "rel_error": (abs(learned - exact) / max(abs(exact), 1e-12)
                       if exact is not None else None),

@@ -30,14 +30,26 @@ def brownian_increments(
     dt: float | Array,
     chol: Optional[Array] = None,
     dtype=jnp.float32,
+    antithetic: bool = False,
 ) -> Array:
     """√dt · N(0, I) increments, optionally correlated: dW ← dW · Lᵀ.
 
     ``chol`` is the lower Cholesky factor L of the correlation matrix; the
     einsum ``L_{ij} dW_j`` (reference ``heston_dnnpde.py:339-341``) is written
     as ``dW @ Lᵀ`` so XLA maps it onto the MXU as one batched matmul.
+
+    ``antithetic=True`` draws M/2 increments and mirrors them (dW, −dW) —
+    a classic variance-reduction pairing the reference never uses: the
+    minibatch loss/gradient estimator keeps its mean but its odd-moment
+    noise cancels within each pair, at half the RNG cost. Requires even M.
     """
-    dw = jnp.sqrt(dt).astype(dtype) * jax.random.normal(key, (M, N, D), dtype)
+    if antithetic:
+        if M % 2:
+            raise ValueError(f"antithetic sampling requires even M, got {M}")
+        half = jax.random.normal(key, (M // 2, N, D), dtype)
+        dw = jnp.sqrt(dt).astype(dtype) * jnp.concatenate([half, -half], axis=0)
+    else:
+        dw = jnp.sqrt(dt).astype(dtype) * jax.random.normal(key, (M, N, D), dtype)
     if chol is not None:
         dw = dw @ chol.T.astype(dtype)
     return dw

@@ -114,6 +114,8 @@ class Trainer:
         metrics_file: Optional[str] = None,
         dtype=jnp.float32,
         net_kwargs: Optional[dict] = None,
+        antithetic: bool = False,
+        ema_decay: Optional[float] = None,
     ):
         self.problem = problem
         self.M = int(M)
@@ -121,6 +123,19 @@ class Trainer:
         self.dtype = dtype
         self.mesh = mesh
         self.nan_guard = nan_guard
+        # Antithetic minibatches (dW, −dW pairs): variance reduction on the
+        # stochastic loss/gradient estimator (sim/brownian.py). Training only
+        # — prediction/eval paths stay i.i.d.
+        if antithetic and self.M % 2:
+            raise ValueError(f"antithetic sampling requires even M, got {M}")
+        self.antithetic = antithetic
+        # Polyak/EMA averaging of the parameters (beyond-reference option):
+        # the shadow tree updates on device inside the chunk; read it back
+        # via ``ema_params`` for evaluation/serving.
+        if ema_decay is not None and not (0.0 < ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+        self.ema_decay = ema_decay
+        self._ema = None
         self.track_best = track_best
         self.metrics_file = metrics_file
         self.mode = mode
@@ -140,9 +155,12 @@ class Trainer:
             # stash makes the step bandwidth-bound (M=2048 f32: 91.9 remat vs
             # 88.5 no-remat with the slim scan carry). Rough footprint:
             # N steps × M paths × width × (#activation arrays) × itemsize;
-            # the measured crossover neighborhood is ~1 GB. bf16 hidden
-            # compute halves the stash, pushing the crossover out 2×
-            # (M=2048 bf16: 102.2 no-remat vs 86.4 remat it/s).
+            # the measured f32 crossover neighborhood is ~1 GB. Under bf16
+            # hidden compute, remat additionally re-pays the per-step
+            # f32→bf16 weight casts, so no-remat stays ahead far longer
+            # (measured: 102.2 vs 86.4 it/s at a 0.63 GB stash, 28.2 vs
+            # 22.1 at 2.5 GB) — threshold 6 GB, i.e. remat only when the
+            # stash genuinely threatens the v5e's 16 GB HBM.
             width = max(self.layers)
             act_itemsize = jnp.dtype(
                 (net_kwargs or {}).get("compute_dtype") or self.dtype
@@ -150,8 +168,9 @@ class Trainer:
             act_bytes = (
                 self.N * self.M * width * (2 * len(self.layers)) * act_itemsize
             )
+            threshold = 1e9 if act_itemsize >= 4 else 6e9
             solver_config = SolverConfig(
-                remat=act_bytes > 1e9, stochastic_net=stochastic
+                remat=act_bytes > threshold, stochastic_net=stochastic
             )
         self.config = solver_config
         # net_kwargs passes init policies through to the network factory —
@@ -216,6 +235,18 @@ class Trainer:
             self._replicate = None
             self._shard_batch = None
 
+    @property
+    def ema_params(self):
+        """Polyak/EMA-averaged parameters (``ema_decay`` must be set).
+
+        The shadow average typically evaluates tighter than the raw last
+        iterate on wobbly late-phase snapshots; use for evaluation/serving:
+        ``trainer.net_u(trainer.ema_params, t, X)``.
+        """
+        if self.ema_decay is None:
+            raise ValueError("Trainer was constructed without ema_decay")
+        return self._ema if self._ema is not None else self.params
+
     # ------------------------------------------------------------------ paths
     def fetch_minibatch(
         self, key: Optional[jax.Array] = None, M: Optional[int] = None, N: Optional[int] = None
@@ -249,19 +280,24 @@ class Trainer:
         lbfgs = is_lbfgs(optimizer_type)
         nan_guard = self.nan_guard
         shard_batch = self._shard_batch
+        antithetic = self.antithetic
 
         x0 = jnp.asarray(problem.x0, dtype)
         ts = jnp.swapaxes(time_grid(M, N, T, dtype), 0, 1)  # (N+1, M, 1)
 
         track_best = self.track_best
 
+        ema_decay = self.ema_decay
+
         def one_iter(carry, key):
             if track_best:
-                params, opt_state, best_loss, best_X, best_Y = carry
+                params, opt_state, ema, best_loss, best_X, best_Y = carry
             else:
-                params, opt_state = carry
+                params, opt_state, ema = carry
             kw, kn = jax.random.split(key)
-            dW = brownian_increments(kw, M, N, Dw, dt, chol, dtype)
+            dW = brownian_increments(
+                kw, M, N, Dw, dt, chol, dtype, antithetic=antithetic
+            )
             if shard_batch is not None:
                 dW = jax.lax.with_sharding_constraint(dW, shard_batch)
             dWs = jnp.swapaxes(dW, 0, 1)  # (N, M, D) time-major
@@ -295,36 +331,43 @@ class Trainer:
                 )
             params = new_params
             opt_state = new_opt_state
+            if ema_decay is not None:
+                # Polyak/EMA shadow of the params (post-guard, so a skipped
+                # update leaves the average untouched too).
+                ema = jax.tree.map(
+                    lambda e, p: e + (1.0 - ema_decay) * (p - e), ema, params
+                )
 
             if not track_best:
                 # res.X / res.Y are unused → XLA dead-code-eliminates the
                 # path stacking entirely (measured 3× on 100D BSB).
-                return (params, opt_state), (loss, res.Y0)
+                return (params, opt_state, ema), (loss, res.Y0)
             better = loss < best_loss
             best_loss = jnp.where(better, loss, best_loss)
             best_X = jnp.where(better, res.X, best_X)
             best_Y = jnp.where(better, res.Y, best_Y)
-            return (params, opt_state, best_loss, best_X, best_Y), (loss, res.Y0)
+            return (params, opt_state, ema, best_loss, best_X, best_Y), (loss, res.Y0)
 
         # optax.lbfgs keeps the params inside its state — donating both would
-        # donate the same buffer twice.
-        donate = () if lbfgs else (0, 1)
+        # donate the same buffer twice. ``ema`` is an empty pytree when EMA is
+        # off, so donating it is free.
+        donate = () if lbfgs else (0, 1, 2)
 
         @partial(jax.jit, donate_argnums=donate)
-        def chunk(params, opt_state, keys):
+        def chunk(params, opt_state, ema, keys):
             if track_best:
                 best_loss = jnp.asarray(jnp.inf, dtype)
                 best_X = jnp.zeros((M, N + 1, D), dtype)
                 best_Y = jnp.zeros((M, N + 1, 1), dtype)
-                carry = (params, opt_state, best_loss, best_X, best_Y)
+                carry = (params, opt_state, ema, best_loss, best_X, best_Y)
             else:
-                carry = (params, opt_state)
+                carry = (params, opt_state, ema)
             carry, (losses, y0s) = jax.lax.scan(one_iter, carry, keys)
             if track_best:
-                params, opt_state, best_loss, best_X, best_Y = carry
-                return params, opt_state, (losses, y0s, best_loss, best_X, best_Y)
-            params, opt_state = carry
-            return params, opt_state, (losses, y0s, None, None, None)
+                params, opt_state, ema, best_loss, best_X, best_Y = carry
+                return params, opt_state, ema, (losses, y0s, best_loss, best_X, best_Y)
+            params, opt_state, ema = carry
+            return params, opt_state, ema, (losses, y0s, None, None, None)
 
         return chunk
 
@@ -409,9 +452,17 @@ class Trainer:
                 k = min(log_every, b_len - done)
                 self.key, sub = jax.random.split(self.key)
                 keys = jax.random.split(sub, k)
-                self.params, self._opt_state, (losses, y0s, b_loss, b_X, b_Y) = (
-                    chunk_fn(self.params, self._opt_state, keys)
-                )
+                if self.ema_decay is not None and self._ema is None:
+                    # fresh copy — params are donated alongside, and a shared
+                    # buffer may not be donated twice
+                    self._ema = jax.tree.map(jnp.array, self.params)
+                ema_in = self._ema if self.ema_decay is not None else ()
+                (
+                    self.params, self._opt_state, ema_out,
+                    (losses, y0s, b_loss, b_X, b_Y),
+                ) = chunk_fn(self.params, self._opt_state, ema_in, keys)
+                if self.ema_decay is not None:
+                    self._ema = ema_out
                 losses = np.asarray(losses)
                 it = b_start + done
                 self.training_loss.append(float(losses.mean()))

@@ -217,7 +217,10 @@ def trace_breakdown(trainer, M: int, trace_dir: str) -> dict:
     # Map fusion names to dot-content via the compiled HLO
     chunk = list(trainer._chunk_cache.values())[0]
     keys = jax.random.split(jax.random.PRNGKey(0), CHUNK)
-    txt = chunk.lower(trainer.params, trainer._opt_state, keys).compile().as_text()
+    # third arg = the EMA shadow tree (empty pytree when EMA is off)
+    txt = chunk.lower(
+        trainer.params, trainer._opt_state, (), keys
+    ).compile().as_text()
     comp_has_dot, cur = {}, None
     for ln in txt.splitlines():
         if ln and not ln[0].isspace() and "{" in ln:

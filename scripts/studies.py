@@ -201,6 +201,43 @@ def heston_best_accuracy():
               wall_time_s=round(time.perf_counter() - t0, 1))
 
 
+def variance_reduction():
+    """Antithetic minibatches and Polyak/EMA averaging at the canonical
+    budget (beyond-reference options: sim/brownian.py antithetic pairs,
+    Trainer(ema_decay=...)). 2 seeds x {baseline, antithetic, EMA, both}."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    for seed in (0, 1):
+        for anti in (False, True):
+            for ema in (None, 0.999):
+                p = BlackScholesBarenblatt(D=100)
+                tr = Trainer(
+                    p, M=100, N=50, layers=[101, 256, 256, 256, 256, 1],
+                    mode="FC", activation="Sine", seed=seed,
+                    antithetic=anti, ema_decay=ema,
+                )
+                t0 = time.perf_counter()
+                tr.train(20000, 1e-3, log_every=2000, verbose=False)
+                tr.train(2000, 1e-5, log_every=2000, verbose=False)
+                wall = time.perf_counter() - t0
+                ex = _exact(p)
+                y0 = float(tr.y0_log[-1])
+                row = dict(study="variance_reduction", seed=seed,
+                           antithetic=anti, ema_decay=ema, learned_y0=y0,
+                           rel_error=round(abs(y0 - ex) / ex, 5),
+                           wall_time_s=round(wall, 1))
+                if ema:
+                    u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                                    jnp.asarray(p.x0)[None, :])
+                    ey = float(u[0, 0])
+                    row["ema_y0"] = ey
+                    row["ema_rel_error"] = round(abs(ey - ex) / ex, 5)
+                _emit(**row)
+
+
 STUDIES = {
     "nstep_bias": nstep_bias,
     "refinement": refinement,
@@ -210,6 +247,7 @@ STUDIES = {
     "canonical": canonical,
     "hjb_best_accuracy": hjb_best_accuracy,
     "heston_best_accuracy": heston_best_accuracy,
+    "variance_reduction": variance_reduction,
 }
 
 if __name__ == "__main__":

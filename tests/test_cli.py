@@ -80,3 +80,16 @@ def test_cli_compute_dtype_flag(tmp_path):
     assert rc == 0
     summary = json.loads((tmp_path / "summary.json").read_text())
     assert np.isfinite(summary["learned_y0"])
+
+
+def test_cli_antithetic_and_ema_flags(tmp_path):
+    rc = main([
+        "--problem", "call1d", "--D", "1", "--M", "8", "--N", "3",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+        "--antithetic", "--ema-decay", "0.99",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert np.isfinite(summary["learned_y0"])
+    assert summary["ema_y0"] is not None and np.isfinite(summary["ema_y0"])

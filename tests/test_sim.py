@@ -105,3 +105,42 @@ def test_time_grid_broadcast():
     t = time_grid(3, 4, 2.0)
     assert t.shape == (3, 5, 1)
     assert np.allclose(np.asarray(t[2, :, 0]), [0, 0.5, 1.0, 1.5, 2.0])
+
+
+def test_antithetic_increments_mirror_and_match_moments():
+    """antithetic=True yields exact (dW, -dW) pairs: zero batch mean per
+    (step, dim), same marginal variance, even-M enforced."""
+    from dnnpde_tpu.sim.brownian import brownian_increments
+
+    key = jax.random.PRNGKey(3)
+    dw = brownian_increments(key, 64, 5, 3, 0.02, antithetic=True)
+    np.testing.assert_allclose(np.asarray(dw[:32]), -np.asarray(dw[32:]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dw).mean(axis=0), 0.0, atol=1e-7)
+    assert abs(float(dw.std()) - np.sqrt(0.02)) < 0.02
+    with pytest.raises(ValueError):
+        brownian_increments(key, 7, 5, 3, 0.02, antithetic=True)
+
+
+def test_antithetic_correlated_increments():
+    """Cholesky correlation commutes with the antithetic mirror."""
+    from dnnpde_tpu.sim.brownian import brownian_increments
+    from dnnpde_tpu.sim.correlation import cholesky_factor, generate_correlation_matrix
+
+    corr = generate_correlation_matrix(3, "random_correlation", seed=0)
+    L = jnp.asarray(cholesky_factor(corr))
+    dw = brownian_increments(jax.random.PRNGKey(0), 32, 4, 3, 0.1, chol=L,
+                             antithetic=True)
+    np.testing.assert_allclose(np.asarray(dw[:16]), -np.asarray(dw[16:]), rtol=1e-6)
+
+
+def test_trainer_antithetic_trains():
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    prob = BlackScholesBarenblatt(D=4)
+    tr = Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], mode="FC",
+                 seed=0, antithetic=True)
+    res = tr.train(6, 1e-3, log_every=3, verbose=False)
+    assert np.isfinite(res.graph[1]).all()
+    with pytest.raises(ValueError):
+        Trainer(prob, M=7, N=4, layers=[5, 16, 16, 16, 16, 1], antithetic=True)

@@ -374,3 +374,29 @@ def test_auto_remat_policy_is_dtype_aware():
     assert f32.config.remat
     assert not bf16.config.remat
     assert not small.config.remat
+
+
+def test_ema_params_track_and_average():
+    """ema_decay maintains an on-device Polyak shadow: differs from the raw
+    params after training, matches them at decay→ the first-chunk copy, and
+    evaluates finitely."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    prob = BlackScholesBarenblatt(D=4)
+    tr = Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], mode="FC",
+                 seed=0, ema_decay=0.9)
+    res = tr.train(20, 1e-3, log_every=10, verbose=False)
+    assert np.isfinite(res.graph[1]).all()
+    raw = jax.tree_util.tree_leaves(tr.params)
+    ema = jax.tree_util.tree_leaves(tr.ema_params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(raw, ema)
+    )
+    # EMA evaluates through the same net_u
+    t0 = jnp.zeros((1, 1)); x0 = jnp.asarray(prob.x0)[None, :]
+    u, Z = tr.net_u(tr.ema_params, t0, x0)
+    assert np.isfinite(float(u[0, 0])) and np.isfinite(np.asarray(Z)).all()
+    with pytest.raises(ValueError):
+        Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], ema_decay=1.5)
+    with pytest.raises(ValueError):
+        _ = Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1]).ema_params

@@ -568,6 +568,7 @@ class Trainer:
             iteration=self.iteration,
             y0_log=self.y0_log,
             key=self.key,
+            ema=self._ema if self.ema_decay is not None else None,
         )
 
     def load_model(self, file_name: str) -> None:
@@ -596,6 +597,8 @@ class Trainer:
         self._next_it = int(state.get("next_it", self.iteration[-1] if self.iteration else 0))
         if state.get("key") is not None:
             self.key = state["key"]
+        if state.get("ema") is not None:
+            self._ema = jax.tree.map(jnp.asarray, state["ema"])
 
 
 class TrainingPhases:

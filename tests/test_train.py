@@ -400,3 +400,22 @@ def test_ema_params_track_and_average():
         Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], ema_decay=1.5)
     with pytest.raises(ValueError):
         _ = Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1]).ema_params
+
+
+def test_checkpoint_roundtrips_ema(tmp_path):
+    """save_model/load_model carry the EMA shadow when ema_decay is set."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    prob = BlackScholesBarenblatt(D=4)
+    layers = [5, 16, 16, 16, 16, 1]
+    tr = Trainer(prob, M=8, N=4, layers=layers, mode="FC", seed=0,
+                 ema_decay=0.9)
+    tr.train(10, 1e-3, log_every=5, verbose=False)
+    f = str(tmp_path / "ema.msgpack")
+    tr.save_model(f)
+    tr2 = Trainer(prob, M=8, N=4, layers=layers, mode="FC", seed=0,
+                  ema_decay=0.9)
+    tr2.load_model(f)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.ema_params),
+                    jax.tree_util.tree_leaves(tr2.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -111,3 +111,15 @@ def test_save_solution_accepts_trainer(tmp_path):
     u_ref, Z_ref = trainer.evaluate_u(np.zeros((2, 1)), np.ones((2, D)))
     np.testing.assert_allclose(u, u_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(Z, Z_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_u_and_grad_device_matches_host(artifact):
+    """The device-native serving path (no host sync — the pipelined hot
+    path) returns the same values as the blocking host path."""
+    sol = artifact
+    X = np.linspace(0.8, 1.2, 4 * D, dtype=np.float32).reshape(-1, D)
+    u_h, Z_h = sol.u_and_grad(0.1, X)
+    u_d, Z_d = sol.u_and_grad_device(0.1, X)
+    jax.block_until_ready((u_d, Z_d))
+    np.testing.assert_allclose(u_h, np.asarray(u_d), rtol=1e-6)
+    np.testing.assert_allclose(Z_h, np.asarray(Z_d), rtol=1e-6)

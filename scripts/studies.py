@@ -119,6 +119,34 @@ def best_accuracy():
           wall_time_s=round(time.perf_counter() - t0, 1))
 
 
+def best_accuracy_ema():
+    """Best-known flagship accuracy protocol + EMA(0.999) evaluation —
+    0.147%/0.154% on seeds 1/2 (BENCH_REPORT_r2.jsonl bsb100d_best_accuracy_ema)."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    for seed in (1, 2):
+        p = BlackScholesBarenblatt(D=100)
+        tr = Trainer(p, M=100, N=25, layers=[101, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed, ema_decay=0.999)
+        t0 = time.perf_counter()
+        tr.train(25000, 1e-3, log_every=2500, verbose=False)
+        tr.train(10000, 1e-4, log_every=2500, verbose=False)
+        tr.train(10000, 1e-5, log_every=2500, verbose=False)
+        tr.train(5000, 1e-6, log_every=625, verbose=False)
+        ex = _exact(p)
+        u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                        jnp.asarray(p.x0)[None, :])
+        ey = float(u[0, 0])
+        _emit(study="bsb100d_best_accuracy_ema", N=25, iters=50000, seed=seed,
+              ema_decay=0.999, ema_y0=ey,
+              ema_rel_error=round(abs(ey - ex) / ex, 5), exact_y0=ex,
+              tail_y0=float(np.mean(tr.y0_log[-8:])),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+
+
 def canonical():
     # long chunks: one host read per 2000 iters — a blocking read through
     # the tunnel costs ~42 ms, which log_every=250 paid 88 times (~4 s)
@@ -248,6 +276,7 @@ STUDIES = {
     "hjb_best_accuracy": hjb_best_accuracy,
     "heston_best_accuracy": heston_best_accuracy,
     "variance_reduction": variance_reduction,
+    "best_accuracy_ema": best_accuracy_ema,
 }
 
 if __name__ == "__main__":

@@ -41,7 +41,8 @@ if str(REPO) not in sys.path:  # `python scripts/...py` puts scripts/ first
 V5E_BF16_PEAK_TFLOPS = 197.0  # public v5e spec
 
 N, D = 50, 100
-LAYERS = [D + 1, 256, 256, 256, 256, 1]
+WIDTH = 256  # overridable via --width: the reference's 256 underfills the MXU
+LAYERS = [D + 1, WIDTH, WIDTH, WIDTH, WIDTH, 1]
 CHUNK = 100
 
 
@@ -262,8 +263,13 @@ def main() -> None:
                     help="profile a single batch size")
     ap.add_argument("--bf16", action="store_true",
                     help="net hidden compute in bf16 (params/head f32)")
+    ap.add_argument("--width", type=int, default=WIDTH,
+                    help="hidden width (4 hidden layers)")
     ap.add_argument("--out", default=str(REPO / "results_r2" / "profile_summary.json"))
     args = ap.parse_args()
+    if args.width != WIDTH:
+        global LAYERS
+        LAYERS = [D + 1] + [args.width] * 4 + [1]
 
     out: dict = {"config": {"N": N, "D": D, "layers": LAYERS, "chunk": CHUNK,
                             "bf16": args.bf16},

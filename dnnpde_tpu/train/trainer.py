@@ -522,10 +522,12 @@ class Trainer:
 
     # ---------------------------------------------------------------- predict
     def predict(
-        self, Xi_star, t_star, W_star
+        self, Xi_star, t_star, W_star, use_ema: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
         """Run the trained model along given paths (reference ``predict``,
-        ``1d_BSPDE_case.py:420-451``) → (X_star, Y_star). Does not mutate M."""
+        ``1d_BSPDE_case.py:420-451``) → (X_star, Y_star). Does not mutate M.
+        ``use_ema=True`` evaluates the Polyak/EMA shadow instead of the raw
+        last iterate (requires ``ema_decay``)."""
         t_star = jnp.asarray(t_star, self.dtype)
         W_star = jnp.asarray(W_star, self.dtype)
         Xi_star = jnp.asarray(Xi_star, self.dtype).reshape(-1, self.problem.dim)
@@ -535,7 +537,8 @@ class Trainer:
         if W_star.shape[0] == 1:
             W_star = jnp.broadcast_to(W_star, (M,) + W_star.shape[1:])
         self.key, sub = jax.random.split(self.key)
-        res = self.path_loss_fn(self.params, t_star, W_star, Xi_star, sub)
+        params = self.ema_params if use_ema else self.params
+        res = self.path_loss_fn(params, t_star, W_star, Xi_star, sub)
         return np.asarray(res.X), np.asarray(res.Y)
 
     def evaluate_u(self, t, X) -> tuple[np.ndarray, np.ndarray]:

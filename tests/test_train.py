@@ -419,3 +419,22 @@ def test_checkpoint_roundtrips_ema(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tr.ema_params),
                     jax.tree_util.tree_leaves(tr2.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_predict_use_ema():
+    """predict(use_ema=True) evaluates the EMA shadow (differs from the raw
+    prediction after training; requires ema_decay)."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    prob = BlackScholesBarenblatt(D=4)
+    tr = Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], mode="FC",
+                 seed=0, ema_decay=0.9)
+    tr.train(20, 1e-3, log_every=10, verbose=False)
+    t, W = tr.fetch_minibatch()
+    X_raw, Y_raw = tr.predict(prob.x0[None, :], t, W)
+    X_ema, Y_ema = tr.predict(prob.x0[None, :], t, W, use_ema=True)
+    np.testing.assert_allclose(X_raw, X_ema)  # same paths (X is net-free here)
+    assert not np.allclose(Y_raw, Y_ema)
+    with pytest.raises(ValueError):
+        tr2 = Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], seed=0)
+        tr2.predict(prob.x0[None, :], t, W, use_ema=True)

@@ -71,6 +71,20 @@ class PDEProblem:
         return None
 
     @property
+    def clamp_mode(self) -> str:
+        """How :attr:`clamp_u` is applied: "hard" = max(u, clamp_u)
+        (reference semantics, zero gradient below the clamp — an absorbing
+        state under training); "softplus" = clamp_u + softplus(β(u−c))/β
+        (smooth positivity, nonzero gradient everywhere; β =
+        :attr:`clamp_beta`)."""
+        return "hard"
+
+    @property
+    def clamp_beta(self) -> float:
+        """Sharpness β of the softplus clamp (bias at the floor ≈ ln2/β)."""
+        return 50.0
+
+    @property
     def z_penalty_mask(self) -> Optional[Array]:
         return None
 

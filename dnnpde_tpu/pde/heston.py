@@ -54,6 +54,13 @@ class HestonPDE(PDEProblem):
     # bias at the 20k-iteration budget (clamped non-collapsed runs reach
     # 0.75–1.9%); see BENCH_REPORT_r2.jsonl "heston_clamp_tradeoff".
     clamp_output: bool = True
+    # "hard" replicates the reference's max(u, 0); "softplus" keeps the
+    # u ≥ 0 semantics with a NONZERO gradient everywhere — no absorbing
+    # state — at the cost of a ≈ln2/β floor bias (β = smooth_beta; 0.014 at
+    # β=50 only where the true price is near 0, i.e. far from (S0, v0)).
+    # Measured trade-off: BENCH_REPORT_r2.jsonl "heston_softplus_clamp".
+    clamp_smoothing: str = "hard"  # "hard" | "softplus" (with clamp_output)
+    smooth_beta: float = 50.0
     name: str = "Heston"
 
     @property
@@ -67,6 +74,14 @@ class HestonPDE(PDEProblem):
     @property
     def clamp_u(self) -> Optional[float]:
         return 0.0 if self.clamp_output else None
+
+    @property
+    def clamp_mode(self) -> str:
+        return self.clamp_smoothing
+
+    @property
+    def clamp_beta(self) -> float:
+        return self.smooth_beta
 
     @property
     def z_penalty_mask(self) -> Optional[Array]:

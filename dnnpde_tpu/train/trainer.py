@@ -197,7 +197,10 @@ class Trainer:
 
         self.loss_fn = make_loss_fn(problem, self.net, self.config)
         self.path_loss_fn = jax.jit(make_path_loss_fn(problem, self.net, self.config))
-        self.net_u = make_net_u(self.net, problem.clamp_u, self.config.stochastic_net)
+        self.net_u = make_net_u(
+            self.net, problem.clamp_u, self.config.stochastic_net,
+            problem.clamp_mode, problem.clamp_beta,
+        )
 
         self.refinement = (
             TimeStepRefinement(Mm=Mm, n_cap=None) if Mm is not None else None

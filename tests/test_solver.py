@@ -250,3 +250,60 @@ def test_smoothed_payoff_gradient_stable_at_extremes():
     # far ITM: payoff ≈ S-K, delta ≈ 1
     assert float(g[0, 0]) == pytest.approx(199.0, rel=1e-3)
     assert float(dg[0, 0]) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_softplus_clamp_no_absorbing_state(rng_key):
+    """clamp_smoothing="softplus" keeps u >= 0 with a NONZERO gradient where
+    the hard clamp's gradient is identically zero (the absorbing state)."""
+    problem_hard = HestonPDE()
+    problem_soft = HestonPDE(clamp_smoothing="softplus", smooth_beta=50.0)
+    net, params = _setup(problem_hard)
+    # Bias the net so u is strongly negative everywhere → hard clamp floor
+    neg = jax.tree_util.tree_map(lambda x: x, params)
+    import flax
+    neg = flax.core.unfreeze(neg) if hasattr(flax.core, "unfreeze") else dict(neg)
+    from dnnpde_tpu.solver import make_net_u
+
+    t = jnp.zeros((4, 1))
+    X = jnp.broadcast_to(problem_hard.x0, (4, 2)) * 0.5
+
+    def u_and_grad(problem):
+        nu = make_net_u(net, problem.clamp_u, False,
+                        problem.clamp_mode, problem.clamp_beta)
+        # shift params output bias far negative via a wrapper
+        def shifted_apply(p, inp, **kw):
+            # u - c ~ -0.3: the regime a collapsing run actually traverses
+            # (softplus(-250) would underflow f32; the protection matters on
+            # the way down, not at the bottom)
+            return net.apply(p, inp, **kw) - 0.3
+        class _N:  # minimal shim with .apply
+            apply = staticmethod(shifted_apply)
+        nu2 = make_net_u(_N, problem.clamp_u, False,
+                         problem.clamp_mode, problem.clamp_beta)
+        return nu2(params, t, X)
+
+    u_h, Z_h = u_and_grad(problem_hard)
+    u_s, Z_s = u_and_grad(problem_soft)
+    # hard: clamped to exactly 0 with zero gradient (absorbing)
+    np.testing.assert_allclose(np.asarray(u_h), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Z_h), 0.0, atol=1e-7)
+    # softplus: floor near 0 but strictly positive, gradient NONZERO
+    assert float(jnp.min(u_s)) > 0.0
+    assert float(jnp.max(jnp.abs(Z_s))) > 0.0
+    # and in the interior (u >> 0) the two agree
+    def pos_apply(p, inp, **kw):
+        return net.apply(p, inp, **kw) + 5.0
+    class _P:
+        apply = staticmethod(pos_apply)
+    u_hp, _ = make_net_u(_P, 0.0, False, "hard")(params, t, X)
+    u_sp, _ = make_net_u(_P, 0.0, False, "softplus", 50.0)(params, t, X)
+    np.testing.assert_allclose(np.asarray(u_hp), np.asarray(u_sp), rtol=1e-5)
+
+
+def test_clamp_mode_validation():
+    from dnnpde_tpu.nets import build_network
+    from dnnpde_tpu.solver import make_net_u
+
+    net = build_network("FC", [3, 8, 1], "Sine")
+    with pytest.raises(ValueError):
+        make_net_u(net, 0.0, False, "banana")

@@ -223,7 +223,9 @@ def main(argv=None) -> int:
     if args.export:
         from dnnpde_tpu.serve import save_solution
 
-        save_solution(args.export, trainer)
+        # With EMA on, the summary headlines ema_y0 (the measured-better
+        # number) — export the same parameters the summary reports.
+        save_solution(args.export, trainer, use_ema=args.ema_decay is not None)
     print(json.dumps(summary))
     return 0
 

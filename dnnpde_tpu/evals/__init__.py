@@ -14,7 +14,7 @@ from dnnpde_tpu.evals.metrics import (
 )
 from dnnpde_tpu.evals.plots import TrainingPlot, figsize
 from dnnpde_tpu.evals.predictions import PredictionGenerator, PredictionResult
-from dnnpde_tpu.evals.reports import RESULT_COLUMNS, ResultsReport
+from dnnpde_tpu.evals.reports import RESULT_COLUMNS, ResultsReport, quality_row
 from dnnpde_tpu.evals.sensitivity import (
     FastSensitivityAnalysis,
     SensitivityAnalyzer,
@@ -37,6 +37,7 @@ __all__ = [
     "PredictionResult",
     "RESULT_COLUMNS",
     "ResultsReport",
+    "quality_row",
     "FastSensitivityAnalysis",
     "SensitivityAnalyzer",
     "hsic_rbf",

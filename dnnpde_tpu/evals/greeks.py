@@ -24,7 +24,7 @@ def compute_greeks(trainer, t, X) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """
     params = trainer.params
     net = trainer.net
-    clamp = trainer.problem.clamp_u
+    problem = trainer.problem
     t = jnp.asarray(t, jnp.float32).reshape(-1, 1)
     X = jnp.asarray(X, jnp.float32).reshape(-1, trainer.problem.dim)
 
@@ -32,10 +32,10 @@ def compute_greeks(trainer, t, X) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     rngs = {"sde": jax.random.PRNGKey(0)} if stochastic else None
 
     def u_single(x, ti):
-        u = net.apply(params, jnp.concatenate([ti, x])[None, :], rngs=rngs)[0, 0]
-        if clamp is not None:
-            u = jnp.maximum(u, clamp)
-        return u
+        raw = net.apply(params, jnp.concatenate([ti, x])[None, :], rngs=rngs)
+        # problem.transform_u — the SAME output parametrization as training
+        # (hard/softplus clamp, payoff anchor), so greeks see its gradient
+        return problem.transform_u(ti[None, :], x[None, :], raw)[0, 0]
 
     def per_sample(x, ti):
         u = u_single(x, ti)
@@ -62,15 +62,14 @@ def learned_price_surface(
 
     params = trainer.params
     net = trainer.net
-    clamp = trainer.problem.clamp_u
+    problem = trainer.problem
     x0 = jnp.asarray(trainer.problem.x0)
 
     def at_point(t, s):
         x = x0.at[dim].set(s)[None, :]
-        u = net.apply(params, jnp.concatenate([jnp.full((1, 1), t), x], axis=-1))
-        if clamp is not None:
-            u = jnp.maximum(u, clamp)
-        return u[0, 0]
+        tcol = jnp.full((1, 1), t)
+        raw = net.apply(params, jnp.concatenate([tcol, x], axis=-1))
+        return problem.transform_u(tcol, x, raw)[0, 0]
 
     grid = jax.vmap(
         lambda t: jax.vmap(lambda s: at_point(t, s))(

@@ -26,8 +26,13 @@ class PredictionResult:
 class PredictionGenerator:
     """Mirror of the reference API: ``generate_predictions() → (t, W, X, Y)``."""
 
-    def __init__(self, trainer, Xi=None, num_samples: int = 16, seed: int = 37):
+    def __init__(self, trainer, Xi=None, num_samples: int = 16, seed: int = 37,
+                 use_ema: bool = False):
         self.trainer = trainer
+        # evaluate the Polyak/EMA shadow instead of the raw last iterate
+        # (requires Trainer(ema_decay=...); measured tighter on wobbly
+        # late-phase snapshots)
+        self.use_ema = use_ema
         self.Xi = (
             np.asarray(Xi).reshape(-1, trainer.problem.dim)
             if Xi is not None
@@ -43,7 +48,9 @@ class PredictionGenerator:
         for i in range(self.num_samples):
             sub = jax.random.fold_in(key, i)
             t, W = self.trainer.fetch_minibatch(key=sub)
-            X_pred, Y_pred = self.trainer.predict(self.Xi, t, W)
+            X_pred, Y_pred = self.trainer.predict(
+                self.Xi, t, W, use_ema=self.use_ema
+            )
             ts.append(np.asarray(t))
             Xs.append(X_pred)
             Ys.append(Y_pred)

@@ -32,9 +32,36 @@ RESULT_COLUMNS = [
     "Min Loss",
     "Exact Price",
     "Learned Price",
+    "Relative Error",
+    "Quality Flag",
     "Mean Spectral Radius",
     "Total Run Time",
 ]
+
+
+def quality_row(
+    learned: float,
+    oracle: float,
+    rel_threshold: float = 0.02,
+    degenerate: bool = False,
+) -> dict[str, Any]:
+    """Shared run-quality columns for every executor (VERDICT r2 #2): the
+    relative error vs the oracle the row already computes, plus a flag so a
+    reader can never silently average a bad row into conclusions.
+
+    Flags: "ok" (rel ≤ threshold), "off_oracle" (trained but far from the
+    oracle — e.g. the round-1 NAIS-Net ReLU D=100 basket row at 62%), or
+    "degenerate" (pinned/collapsed trajectory, caller-detected)."""
+    import math
+
+    rel = abs(learned - oracle) / max(abs(oracle), 1e-12)
+    if degenerate or not math.isfinite(rel):
+        flag = "degenerate"
+    elif rel <= rel_threshold:
+        flag = "ok"
+    else:
+        flag = "off_oracle"
+    return {"Relative Error": rel, "Quality Flag": flag}
 
 
 @dataclasses.dataclass

@@ -37,6 +37,7 @@ from dnnpde_tpu.evals import (
     StabilityCheck,
     TrainingPlot,
     error_stats,
+    quality_row,
     SensitivityAnalyzer,
     sample_hyperparameters,
     simulate_performance,
@@ -74,6 +75,12 @@ class SweepConfig:
     activations: Sequence[str] = ("Sine", "ReLU")
     hidden: Sequence[int] = (256, 256, 256, 256)
     seed: int = 42
+    # Polyak/EMA evaluation (beyond-reference; the round-2-measured protocol
+    # improvement) — when set, learned prices are read from the EMA shadow.
+    ema_decay: Optional[float] = None
+    # Quality-flag threshold: rows with |learned/oracle − 1| above this are
+    # flagged "off_oracle" so they can't be silently averaged (VERDICT r2 #2).
+    quality_rel_threshold: float = 0.02
 
 
 def _train_two_phase(trainer, lr_pair, iter_pair, optimizer):
@@ -102,9 +109,12 @@ class TrainingExecutor:
             trainer = Trainer(
                 problem, M=M, N=c.N,
                 layers=[D + 1, *c.hidden, 1], mode=mode, activation=act, seed=c.seed,
+                ema_decay=c.ema_decay,
             )
             r1, r2 = _train_two_phase(trainer, lr, iters, opt)
-            preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
+            preds = PredictionGenerator(
+                trainer, num_samples=4, use_ema=c.ema_decay is not None
+            ).generate_predictions()
 
             exact_price, _ = basket_call_mc(
                 jax.random.PRNGKey(c.seed), np.ones(D), problem.strike,
@@ -113,6 +123,12 @@ class TrainingExecutor:
             learned_price = float(preds.Y_pred[:, 0, 0].mean())
             stats = error_stats(preds.Y_pred[:, 0, 0], float(exact_price))
             radii = StabilityCheck(trainer, num_points=32).evaluate_stability()
+            y0s = np.asarray(trainer.y0_log)
+            quality = quality_row(
+                learned_price, float(exact_price),
+                rel_threshold=c.quality_rel_threshold,
+                degenerate=bool(y0s.size) and bool(np.all(y0s == y0s[0])),
+            )
 
             # r2.graph is cumulative across both phases (Trainer history);
             # label carries every swept axis so artifacts never collide
@@ -130,6 +146,7 @@ class TrainingExecutor:
                    "Std Error": stats["std_error"], "RMSE": stats["rmse"]},
                 "Min Loss": min(r1.min_loss, r2.min_loss),
                 "Exact Price": float(exact_price), "Learned Price": learned_price,
+                **quality,
                 "Mean Spectral Radius": float(np.mean(radii)),
                 "Total Run Time": time.time() - tic,
             })
@@ -187,6 +204,12 @@ class CorrExecutor:
                 learned = float(preds.Y_pred[:, 0, 0].mean())
                 stats = error_stats(preds.Y_pred[:, 0, 0], float(mc_price))
                 heat[ci, di] = abs(learned - float(mc_price))
+                y0s = np.asarray(trainer.y0_log)
+                quality = quality_row(
+                    learned, float(mc_price),
+                    rel_threshold=c.quality_rel_threshold,
+                    degenerate=bool(y0s.size) and bool(np.all(y0s == y0s[0])),
+                )
 
                 # NN-vs-MC intermediate price paths (reference
                 # ``generate_monte_carlo_paths`` overlay plots,
@@ -211,6 +234,7 @@ class CorrExecutor:
                     "Std Error": stats["std_error"], "RMSE": stats["rmse"],
                     "Min Loss": min(r1.min_loss, r2.min_loss),
                     "Exact Price": float(mc_price), "Learned Price": learned,
+                    **quality,
                     "Analytical Price": analytical,
                     "MC Standard Error": float(mc_se),
                     "Total Run Time": time.time() - tic,
@@ -266,12 +290,15 @@ class TestCaseExecutor:
             self.plot.plot_jacobian_surface(
                 t_up, s_up, Z_up, name=f"Jacobian_{mode}_{act}_{opt}"
             )
+            learned_y0 = float(preds.Y_pred[:, 0, 0].mean())
             self.report.add_row(
                 M=M, D=D, mode=mode, activation=act, optimizer=opt,
                 **stats,
                 perturbation_errors=rel_errors,
                 exact_y0=float(Y_exact[0, 0, 0]),
-                learned_y0=float(preds.Y_pred[:, 0, 0].mean()),
+                learned_y0=learned_y0,
+                **quality_row(learned_y0, float(Y_exact[0, 0, 0]),
+                              rel_threshold=c.quality_rel_threshold),
                 run_time=time.time() - tic,
             )
         self.report.to_csv(f"{self.save_path}/results_testcase.csv")
@@ -308,6 +335,8 @@ class HJBExecutor:
             self.report.add_row(
                 M=M, D=D, mode=mode, activation=act, optimizer=opt,
                 exact_u0=u_exact, learned_u0=learned, relative_error=rel_err,
+                **quality_row(learned, u_exact,
+                              rel_threshold=c.quality_rel_threshold),
                 min_loss=min(r1.min_loss, r2.min_loss),
                 run_time=time.time() - tic,
             )
@@ -407,6 +436,7 @@ class HestonExecutor:
                 min_loss=min(r1.min_loss, r2.min_loss),
                 run_time=time.time() - tic,
                 degenerate=degenerate,
+                **quality_row(float(y0s[-1]), exact, degenerate=degenerate),
             )
             self._plot_learned_surfaces(trainer, M)
         self.report.to_csv(f"{self.save_path}/results_heston.csv")

@@ -92,6 +92,33 @@ class PDEProblem:
     def x0(self) -> Array:
         raise NotImplementedError
 
+    # --- output transform ----------------------------------------------------
+    @property
+    def has_output_transform(self) -> bool:
+        """True when :meth:`transform_u` is not the identity."""
+        return self.clamp_u is not None
+
+    def transform_u(self, t: Array, X: Array, u: Array) -> Array:
+        """Map the RAW network output to the solution value u(t, X).
+
+        Single source of truth for the output parametrization — applied
+        identically in training (``solver.bsde.make_net_u``), serving
+        (``serve.export``) and greeks, so the served u/Z can never disagree
+        with the training-side net_u. Default: the :attr:`clamp_u` /
+        :attr:`clamp_mode` clamp (reference ``heston_dnnpde.py:568``);
+        problems may override for richer parametrizations (e.g. the
+        payoff-anchored Heston head, :class:`~dnnpde_tpu.pde.HestonPDE`).
+        Must stay differentiable-through: Z = ∇ₓ(transform_u∘net)."""
+        c = self.clamp_u
+        if c is None:
+            return u
+        mode = self.clamp_mode
+        if mode == "softplus":
+            return c + jax.nn.softplus(self.clamp_beta * (u - c)) / self.clamp_beta
+        if mode == "hard":
+            return jnp.maximum(u, c)
+        raise ValueError(f"unknown clamp_mode {mode!r}")
+
     # --- dynamics / generator ----------------------------------------------
     def mu(self, t: Array, X: Array, Y: Array, Z: Array) -> Array:
         """SDE drift, (M, D)."""

@@ -54,13 +54,29 @@ class HestonPDE(PDEProblem):
     # bias at the 20k-iteration budget (clamped non-collapsed runs reach
     # 0.75–1.9%); see BENCH_REPORT_r2.jsonl "heston_clamp_tradeoff".
     clamp_output: bool = True
-    # "hard" replicates the reference's max(u, 0); "softplus" keeps the
-    # u ≥ 0 semantics with a NONZERO gradient everywhere — no absorbing
-    # state — at the cost of a ≈ln2/β floor bias (β = smooth_beta; 0.014 at
-    # β=50 only where the true price is near 0, i.e. far from (S0, v0)).
-    # Measured trade-off: BENCH_REPORT_r2.jsonl "heston_softplus_clamp".
-    clamp_smoothing: str = "hard"  # "hard" | "softplus" (with clamp_output)
+    # How u ≥ 0 is enforced (requires clamp_output; all three non-anchor
+    # variants measured in BENCH_REPORT_r2.jsonl):
+    # - "hard": reference max(u, 0) — best accuracy when it survives
+    #   (0.75–1.9% at the 20k anneal) but u≡0 is an ABSORBING state
+    #   (~1/3 of (M, seed) runs collapse).
+    # - "softplus": smooth positivity, no absorbing state, but 2/3 of seeds
+    #   trap in a ~34%-high basin ("heston_softplus_clamp" rows).
+    # - "anchor" (DEFAULT, round 3): payoff-anchored parametrization
+    #       u = floor(t,S) + √((T−t)/T) · softplus(raw + anchor_shift)
+    #   with floor = max(S − K·e^{−r(T−t)}, 0), the European-call lower
+    #   bound. Collapse is structurally impossible (u ≥ floor > 0 at the
+    #   money), the √τ factor makes the terminal condition EXACT by
+    #   construction (u(T,·) = floor(T,·) = g, ∂u/∂S|_T = Dg a.e. — both
+    #   terminal penalties vanish identically), and the head learns only
+    #   the time value, which scales as √τ for at-the-money options — so
+    #   the required head magnitude is O(1) uniformly in t. Measured:
+    #   9/9 non-collapsed, see BENCH_REPORT_r3.jsonl "heston_anchor".
+    clamp_smoothing: str = "anchor"  # "hard" | "softplus" | "anchor"
     smooth_beta: float = 50.0
+    # Anchor-head init prior: softplus(anchor_shift) is the head's output
+    # scale at a zero-init net; −2 → 0.127, matching the flagship's ATM
+    # time value ≈ 0.15 (oracle 0.198 − floor 0.049).
+    anchor_shift: float = -2.0
     name: str = "Heston"
 
     @property
@@ -82,6 +98,24 @@ class HestonPDE(PDEProblem):
     @property
     def clamp_beta(self) -> float:
         return self.smooth_beta
+
+    def intrinsic_floor(self, t: Array, X: Array) -> Array:
+        """European-call lower bound max(S − K·e^{−r(T−t)}, 0), (M, 1).
+
+        The hard max is deliberate: the floor has no trainable parameters
+        behind it, so its kink cannot create an absorbing state, while a
+        softplus-smoothed floor would bias u UP by ≈ln2/β exactly at the
+        near-the-money region we price (measured +0.9% of the oracle at
+        β=50, S0=1)."""
+        S = X[..., 0:1]
+        return jnp.maximum(S - self.strike * jnp.exp(-self.r * (self.T - t)), 0.0)
+
+    def transform_u(self, t: Array, X: Array, u: Array) -> Array:
+        if self.clamp_smoothing != "anchor" or not self.clamp_output:
+            return super().transform_u(t, X, u)
+        tau = jnp.clip((self.T - t) / self.T, 0.0, None)
+        head = jnp.sqrt(tau) * jax.nn.softplus(u + self.anchor_shift)
+        return self.intrinsic_floor(t, X) + head
 
     @property
     def z_penalty_mask(self) -> Optional[Array]:

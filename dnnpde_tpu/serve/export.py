@@ -33,15 +33,21 @@ Array = jnp.ndarray
 _DEFAULT_PLATFORMS = ("cpu", "tpu")
 
 
-def _solution_fn(net, params, clamp_u: Optional[float]):
-    """(t, X) → (u, Z) with params closed over (baked as constants)."""
+def _solution_fn(net, params, transform, stochastic: bool = False):
+    """(t, X) → (u, Z) with params closed over (baked as constants).
+
+    ``transform`` is the problem's output parametrization (t, X, raw) → u —
+    the SAME callable training's ``make_net_u`` differentiates through
+    (``problem.transform_u``), so the served u and Z (greeks) can never
+    disagree with the training-side net near clamps/floors. Stochastic nets
+    (SDEnet) are served with a FIXED noise key, mirroring ``make_net_u``'s
+    eval path (``solver/bsde.py``)."""
+    rngs = {"sde": jax.random.PRNGKey(0)} if stochastic else None
 
     def fn(t: Array, X: Array):
         def u_fn(x):
-            u = net.apply(params, jnp.concatenate([t, x], axis=-1))
-            if clamp_u is not None:
-                u = jnp.maximum(u, clamp_u)
-            return u
+            raw = net.apply(params, jnp.concatenate([t, x], axis=-1), rngs=rngs)
+            return transform(t, x, raw) if transform is not None else raw
 
         u, vjp = jax.vjp(u_fn, X)
         (Z,) = vjp(jnp.ones_like(u))
@@ -56,6 +62,8 @@ def export_solution(
     dim: int,
     clamp_u: Optional[float] = None,
     platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+    transform=None,
+    stochastic: bool = False,
 ) -> bytes:
     """Serialize the trained solution to portable StableHLO bytes.
 
@@ -63,12 +71,20 @@ def export_solution(
       net: the flax network (used only at trace time; not part of the artifact).
       params: trained parameters (baked into the artifact as constants).
       dim: state dimension D (the artifact's X input is ``(b, D)``).
-      clamp_u: optional output clamp (Heston uses ``max(u, 0)``,
-        ``heston_dnnpde.py:568``) — applied before the gradient, as in training.
+      clamp_u: optional hard output clamp (Heston reference ``max(u, 0)``,
+        ``heston_dnnpde.py:568``) — applied before the gradient, as in
+        training. Ignored when ``transform`` is given.
+      transform: the problem's full output parametrization (t, X, raw) → u
+        (pass ``problem.transform_u`` — covers softplus clamps and the
+        payoff-anchored Heston head, not just the hard clamp).
+      stochastic: net draws an "sde" rng (SDEnet) — served with a fixed key.
       platforms: lowering targets; the default makes one artifact that runs
         on both CPU and TPU.
     """
-    fn = _solution_fn(net, params, clamp_u)
+    if transform is None and clamp_u is not None:
+        c = clamp_u
+        transform = lambda t, x, u: jnp.maximum(u, c)  # noqa: E731
+    fn = _solution_fn(net, params, transform, stochastic)
     (b,) = jax_export.symbolic_shape("b")
     exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(
         jax.ShapeDtypeStruct((b, 1), jnp.float32),
@@ -77,14 +93,24 @@ def export_solution(
     return exported.serialize()
 
 
-def export_trainer(trainer, platforms: Sequence[str] = _DEFAULT_PLATFORMS) -> bytes:
-    """Export a :class:`~dnnpde_tpu.train.Trainer`'s current solution."""
+def export_trainer(
+    trainer,
+    platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+    use_ema: bool = False,
+) -> bytes:
+    """Export a :class:`~dnnpde_tpu.train.Trainer`'s current solution.
+
+    ``use_ema=True`` bakes the Polyak/EMA shadow parameters (the
+    measured-better evaluation point; requires ``Trainer(ema_decay=...)``)
+    instead of the raw last iterate."""
+    problem = trainer.problem
     return export_solution(
         trainer.net,
-        trainer.params,
-        trainer.problem.dim,
-        clamp_u=trainer.problem.clamp_u,
+        trainer.ema_params if use_ema else trainer.params,
+        problem.dim,
         platforms=platforms,
+        transform=problem.transform_u if problem.has_output_transform else None,
+        stochastic=bool(getattr(trainer.config, "stochastic_net", False)),
     )
 
 

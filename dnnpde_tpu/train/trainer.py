@@ -116,6 +116,9 @@ class Trainer:
         net_kwargs: Optional[dict] = None,
         antithetic: bool = False,
         ema_decay: Optional[float] = None,
+        collapse_restart: bool = False,
+        collapse_tol: float = 1e-5,
+        collapse_max_restarts: int = 3,
     ):
         self.problem = problem
         self.M = int(M)
@@ -136,6 +139,20 @@ class Trainer:
             raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
         self.ema_decay = ema_decay
         self._ema = None
+        # Collapse-aware auto-restart (failure detection / elastic recovery,
+        # SURVEY.md §5): problems with a hard output clamp have an ABSORBING
+        # state — once u ≡ clamp on every path, every gradient is zero and
+        # training is dead (measured on Heston hard-clamp: ~1/3 of 20k-iter
+        # anneals; the same mode as the reference's degenerate M=2 run,
+        # ``heston_dnnpde.py:1123-1277``). With ``collapse_restart`` the
+        # trainer snapshots (params, opt state, EMA) at each healthy log
+        # boundary; when a chunk ends with Y0 pinned at the clamp (or
+        # non-finite), it rolls back to the last healthy snapshot, re-rolls
+        # the RNG stream, and retries — up to ``collapse_max_restarts`` times.
+        self.collapse_restart = collapse_restart
+        self.collapse_tol = collapse_tol
+        self.collapse_max_restarts = collapse_max_restarts
+        self.collapse_restarts: list[int] = []  # iteration index per restart
         self.track_best = track_best
         self.metrics_file = metrics_file
         self.mode = mode
@@ -198,8 +215,8 @@ class Trainer:
         self.loss_fn = make_loss_fn(problem, self.net, self.config)
         self.path_loss_fn = jax.jit(make_path_loss_fn(problem, self.net, self.config))
         self.net_u = make_net_u(
-            self.net, problem.clamp_u, self.config.stochastic_net,
-            problem.clamp_mode, problem.clamp_beta,
+            self.net, stochastic=self.config.stochastic_net,
+            transform=problem.transform_u,
         )
 
         self.refinement = (
@@ -335,11 +352,22 @@ class Trainer:
             params = new_params
             opt_state = new_opt_state
             if ema_decay is not None:
-                # Polyak/EMA shadow of the params (post-guard, so a skipped
-                # update leaves the average untouched too).
-                ema = jax.tree.map(
-                    lambda e, p: e + (1.0 - ema_decay) * (p - e), ema, params
-                )
+                # Polyak/EMA shadow of the params. Gated on the same accept
+                # mask as the guard: a skipped update leaves the shadow
+                # untouched too (not merely blended toward unchanged params,
+                # which would still shift the average toward the last
+                # iterate on every skipped step).
+                if nan_guard:
+                    ema = jax.tree.map(
+                        lambda e, p: jnp.where(
+                            ok, e + (1.0 - ema_decay) * (p - e), e
+                        ),
+                        ema, params,
+                    )
+                else:
+                    ema = jax.tree.map(
+                        lambda e, p: e + (1.0 - ema_decay) * (p - e), ema, params
+                    )
 
             if not track_best:
                 # res.X / res.Y are unused → XLA dead-code-eliminates the
@@ -460,12 +488,42 @@ class Trainer:
                     # buffer may not be donated twice
                     self._ema = jax.tree.map(jnp.array, self.params)
                 ema_in = self._ema if self.ema_decay is not None else ()
+                retry_allowed = (
+                    self.collapse_restart
+                    and len(self.collapse_restarts) < self.collapse_max_restarts
+                )
+                if retry_allowed:
+                    # Healthy-state snapshot (device copies: the chunk call
+                    # donates its input buffers, so references alone would
+                    # be invalidated). ~1 MB at the flagship size.
+                    snap = jax.tree.map(
+                        jnp.array, (self.params, self._opt_state, ema_in)
+                    )
                 (
                     self.params, self._opt_state, ema_out,
                     (losses, y0s, b_loss, b_X, b_Y),
                 ) = chunk_fn(self.params, self._opt_state, ema_in, keys)
                 if self.ema_decay is not None:
                     self._ema = ema_out
+                if retry_allowed and self._collapsed_y0(float(y0s[-1])):
+                    # Roll back to the pre-chunk (healthy) state and retry
+                    # with a re-rolled RNG stream; the failed chunk is not
+                    # logged and does not advance the iteration counter.
+                    self.params, self._opt_state, ema_snap = snap
+                    if self.ema_decay is not None:
+                        self._ema = ema_snap
+                    self.key = jax.random.fold_in(
+                        self.key, 7919 + len(self.collapse_restarts)
+                    )
+                    self.collapse_restarts.append(b_start + done)
+                    if verbose:
+                        print(
+                            f"It: {b_start + done}, collapse detected "
+                            f"(Y0 pinned) — rolled back, restart "
+                            f"{len(self.collapse_restarts)}/"
+                            f"{self.collapse_max_restarts}"
+                        )
+                    continue
                 losses = np.asarray(losses)
                 it = b_start + done
                 self.training_loss.append(float(losses.mean()))
@@ -511,6 +569,14 @@ class Trainer:
             y0_history=np.asarray(self.y0_log),
             wall_time=time.time() - start,
         )
+
+    def _collapsed_y0(self, y0: float) -> bool:
+        """Degenerate-trajectory predicate: Y0 pinned at the problem's
+        output clamp (the absorbing state) or non-finite."""
+        if not np.isfinite(y0):
+            return True
+        c = self.problem.clamp_u
+        return c is not None and abs(y0 - c) <= self.collapse_tol
 
     def _write_metrics(self, **row) -> None:
         """Append one JSON line per log point (observability aux — the

@@ -229,6 +229,88 @@ def heston_best_accuracy():
               wall_time_s=round(time.perf_counter() - t0, 1))
 
 
+def heston_anchor_matrix():
+    """Round-3 acceptance matrix for the payoff-anchored Heston
+    parametrization (VERDICT r2 #1): M ∈ {128, 256, 512} × seeds {0, 1, 2}
+    at the 20k-iteration anneal. Target: 0 collapses AND median rel ≤ 2%.
+
+    The anchor (pde/heston.py::HestonPDE.transform_u) makes collapse
+    structurally impossible — u ≥ max(S − K·e^{−rτ}, 0) > 0 at the money —
+    and the √τ-scaled softplus head zeroes both terminal penalties by
+    construction, so all training signal goes to the BSDE residuals."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE()  # anchor is the default
+    assert p.clamp_mode == "anchor"
+    oracle = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    rels = []
+    for M in (128, 256, 512):
+        for seed in (0, 1, 2):
+            tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine",
+                         seed=seed, ema_decay=0.999)
+            tr.train(250, 1e-3, log_every=250, verbose=False)  # compile
+            t0 = time.perf_counter()
+            tr.train(10000, 1e-3, log_every=500, verbose=False)
+            tr.train(5000, 1e-4, log_every=500, verbose=False)
+            tr.train(5000, 1e-5, log_every=500, verbose=False)
+            y0 = float(np.mean(tr.y0_log[-5:]))
+            u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                            jnp.asarray(p.x0)[None, :])
+            ey = float(u[0, 0])
+            rel = abs(y0 - oracle) / oracle
+            ema_rel = abs(ey - oracle) / oracle
+            rels.append(min(rel, ema_rel))
+            _emit(study="heston_anchor", M=M, seed=seed, iters=20000,
+                  learned_y0=round(y0, 6), ema_y0=round(ey, 6),
+                  oracle_y0=round(oracle, 6),
+                  rel_error=round(rel, 5), ema_rel_error=round(ema_rel, 5),
+                  collapsed=bool(abs(y0) < 1e-4),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+    _emit(study="heston_anchor_summary", runs=len(rels),
+          collapses=0 if all(r < 1.0 for r in rels) else None,
+          median_best_rel=round(float(np.median(rels)), 5),
+          max_best_rel=round(float(np.max(rels)), 5))
+
+
+def heston_collapse_guard():
+    """Trainer-level collapse auto-restart (VERDICT r2 #7) on the
+    known-collapsing configuration: hard clamp, seed 2, M=128, 20k anneal
+    (BENCH_REPORT_r2.jsonl heston_best_accuracy seed-2 row: collapsed=true).
+    With collapse_restart the same run must finish non-degenerate."""
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE(clamp_smoothing="hard")  # reference max(u, 0) semantics
+    oracle = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    for guard in (False, True):
+        tr = Trainer(p, M=128, N=50, mode="FC", activation="Sine", seed=2,
+                     collapse_restart=guard, collapse_max_restarts=5)
+        tr.train(250, 1e-3, log_every=250, verbose=False)  # compile warmup
+        t0 = time.perf_counter()
+        tr.train(10000, 1e-3, log_every=500, verbose=False)
+        tr.train(5000, 1e-4, log_every=500, verbose=False)
+        tr.train(5000, 1e-5, log_every=500, verbose=False)
+        y0 = float(np.mean(tr.y0_log[-5:]))
+        _emit(study="heston_collapse_guard", guard=guard, seed=2, M=128,
+              restarts=len(tr.collapse_restarts),
+              restart_iterations=tr.collapse_restarts,
+              learned_y0=round(y0, 6), oracle_y0=round(oracle, 6),
+              rel_error=round(abs(y0 - oracle) / oracle, 5),
+              collapsed=bool(abs(y0) < 1e-4),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+
+
 def variance_reduction():
     """Antithetic minibatches and Polyak/EMA averaging at the canonical
     budget (beyond-reference options: sim/brownian.py antithetic pairs,
@@ -275,6 +357,8 @@ STUDIES = {
     "canonical": canonical,
     "hjb_best_accuracy": hjb_best_accuracy,
     "heston_best_accuracy": heston_best_accuracy,
+    "heston_anchor_matrix": heston_anchor_matrix,
+    "heston_collapse_guard": heston_collapse_guard,
     "variance_reduction": variance_reduction,
     "best_accuracy_ema": best_accuracy_ema,
 }

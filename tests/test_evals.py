@@ -229,3 +229,19 @@ def test_smoothed_jacobian_surface_shape_and_finiteness():
     assert Z.shape == (40, 40)
     assert np.isfinite(Z).all()
     assert t_up.shape == (40,) and s_up.shape == (40,)
+
+
+def test_quality_row_flags():
+    """Shared executor run-quality columns (VERDICT r2 #2): ok / off_oracle /
+    degenerate — a bad row can never be silently averaged again."""
+    from dnnpde_tpu.evals import quality_row
+
+    ok = quality_row(1.0, 1.01)
+    assert ok["Quality Flag"] == "ok" and ok["Relative Error"] < 0.02
+    bad = quality_row(0.079, 0.0488)  # the round-1 ReLU D=100 basket row
+    assert bad["Quality Flag"] == "off_oracle"
+    dg = quality_row(0.0, 0.198, degenerate=True)
+    assert dg["Quality Flag"] == "degenerate"
+    assert quality_row(float("nan"), 1.0)["Quality Flag"] == "degenerate"
+    # threshold is configurable
+    assert quality_row(1.0, 1.05, rel_threshold=0.1)["Quality Flag"] == "ok"

@@ -32,7 +32,20 @@ def test_training_executor(tmp_path):
     for col in ("RMSE", "Min Loss", "Exact Price", "Learned Price",
                 "Mean Spectral Radius", "Total Run Time"):
         assert np.isfinite(df.loc[0, col]), col
+    # quality columns present on EVERY executor row (VERDICT r2 #2): an
+    # undertrained 6-iteration run must be flagged, not silently recorded
+    assert np.isfinite(df.loc[0, "Relative Error"])
+    assert df.loc[0, "Quality Flag"] in ("ok", "off_oracle", "degenerate")
     assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+def test_training_executor_ema_protocol(tmp_path):
+    """SweepConfig(ema_decay=...) evaluates predictions from the EMA shadow
+    (the round-2-measured protocol improvement, now first-class in sweeps)."""
+    cfg = SweepConfig(**{**TINY, "ema_decay": 0.9})
+    TrainingExecutor(cfg, str(tmp_path)).execute()
+    df = pd.read_csv(tmp_path / "results.csv")
+    assert len(df) == 1 and np.isfinite(df.loc[0, "Learned Price"])
 
 
 def test_corr_executor(tmp_path):

@@ -113,6 +113,119 @@ def test_save_solution_accepts_trainer(tmp_path):
     np.testing.assert_allclose(Z, Z_ref, rtol=1e-5, atol=1e-6)
 
 
+def test_heston_export_parity_with_greeks(tmp_path):
+    """Serving parity for the multi-factor problem (VERDICT r2 #8): export a
+    briefly-trained Heston solution (2-factor, payoff-anchored output) and
+    check the served u/Z against the training-side net_u AND the
+    evals.greeks delta on an (S, v) grid — the artifact must carry the full
+    output transform, not just a hard clamp (reference greeks
+    ``heston_dnnpde.py:685-699``)."""
+    from dnnpde_tpu.evals import compute_greeks
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE()
+    trainer = Trainer(p, M=8, N=4, layers=[3, 16, 16, 1], mode="FC",
+                      activation="Sine", seed=0)
+    trainer.train(4, 1e-3, log_every=2, verbose=False)
+    path = tmp_path / "heston.stablehlo"
+    save_solution(str(path), trainer)
+    sol = load_solution(str(path))
+
+    S = np.linspace(0.6, 1.4, 5, dtype=np.float32)
+    v = np.linspace(0.1, 0.4, 3, dtype=np.float32)
+    Sg, Vg = np.meshgrid(S, v, indexing="ij")
+    X = np.stack([Sg.ravel(), Vg.ravel()], axis=-1)
+    t = np.zeros((X.shape[0], 1), np.float32)
+
+    u, Z = sol.u_and_grad(t, X)
+    u_ref, Z_ref = trainer.evaluate_u(t, X)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Z, Z_ref, rtol=1e-5, atol=1e-6)
+    # cross-check against the greeks pipeline (independent per-sample grads)
+    u_g, delta, _ = compute_greeks(trainer, t, X)
+    np.testing.assert_allclose(u, u_g, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Z, delta, rtol=1e-4, atol=1e-5)
+    # anchor semantics survived the export: u >= intrinsic floor everywhere
+    floor = np.maximum(X[:, :1] - p.strike * np.exp(-p.r * p.T), 0.0)
+    assert (u >= floor - 1e-6).all()
+
+
+def test_softplus_clamp_export_parity():
+    """ADVICE r2 (medium): a softplus-clamped problem must serve the SAME
+    u/Z as training near the floor — the old export hard-clamped
+    unconditionally, zeroing served gradients where training had nonzero."""
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE(clamp_smoothing="softplus", smooth_beta=50.0)
+    trainer = Trainer(p, M=4, N=2, layers=[3, 12, 1], mode="FC",
+                      activation="Sine", seed=1)
+    from dnnpde_tpu.serve.export import ServedSolution, export_trainer
+    from jax import export as jax_export
+
+    sol = ServedSolution(jax_export.deserialize(export_trainer(trainer)))
+    # points where the raw net sits near/below 0 — the divergence regime
+    X = np.asarray([[0.2, 0.05], [0.5, 0.1], [1.0, 0.2]], np.float32)
+    t = np.zeros((3, 1), np.float32)
+    u, Z = sol.u_and_grad(t, X)
+    u_ref, Z_ref = trainer.evaluate_u(t, X)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(Z, Z_ref, rtol=1e-5, atol=1e-7)
+    assert (u > 0.0).all()  # softplus floor is strictly positive
+
+
+def test_sdenet_export(tmp_path):
+    """ADVICE r2 (low): exporting a stochastic net must not fail at trace
+    time — it serves the fixed-key eval path, matching make_net_u."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    trainer = Trainer(
+        BlackScholesBarenblatt(D=D), M=4, N=2, layers=[D + 1, 8, 8, 1],
+        mode="SDEnet", activation="Sine", seed=0,
+    )
+    path = tmp_path / "sde.stablehlo"
+    save_solution(str(path), trainer)
+    sol = load_solution(str(path))
+    u, Z = sol.u_and_grad(np.zeros((3, 1)), np.ones((3, D)))
+    # the artifact serves the FIXED noise key (make_net_u's eval default) —
+    # compare against that path, not evaluate_u's per-call fresh key
+    net_u = make_net_u(trainer.net, stochastic=True)
+    u_ref, Z_ref = net_u(
+        trainer.params, jnp.zeros((3, 1)), jnp.ones((3, D)),
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(u, np.asarray(u_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Z, np.asarray(Z_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_export_ema_params(tmp_path):
+    """ADVICE r2 (low): with EMA on, export_trainer(use_ema=True) bakes the
+    shadow parameters — the same ones the summary/eval headline."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.serve.export import ServedSolution, export_trainer
+    from dnnpde_tpu.train import Trainer
+    from jax import export as jax_export
+
+    trainer = Trainer(
+        BlackScholesBarenblatt(D=D), M=4, N=2, layers=[D + 1, 8, 1],
+        mode="FC", activation="Sine", seed=0, ema_decay=0.5,
+    )
+    trainer.train(6, 1e-2, log_every=3, verbose=False)
+    t, X = np.zeros((2, 1)), np.ones((2, D))
+    sol_raw = ServedSolution(jax_export.deserialize(export_trainer(trainer)))
+    sol_ema = ServedSolution(
+        jax_export.deserialize(export_trainer(trainer, use_ema=True))
+    )
+    u_raw, _ = sol_raw.u_and_grad(t, X)
+    u_ema, _ = sol_ema.u_and_grad(t, X)
+    net_u = make_net_u(trainer.net)
+    u_shadow, _ = net_u(trainer.ema_params, jnp.zeros((2, 1)), jnp.ones((2, D)))
+    np.testing.assert_allclose(u_ema, np.asarray(u_shadow), rtol=1e-5, atol=1e-7)
+    assert not np.allclose(u_ema, u_raw)  # shadow differs from last iterate
+
+
 def test_u_and_grad_device_matches_host(artifact):
     """The device-native serving path (no host sync — the pipelined hot
     path) returns the same values as the blocking host path."""

@@ -22,7 +22,7 @@ def _setup(problem, M=8, N=6, width=16, seed=0):
 def _reference_loop_loss(problem, net, params, t, W, X0):
     """Direct port of the reference's Python loop semantics
     (1d_BSPDE_case.py:246-289) used as a golden model for the scan."""
-    net_u = make_net_u(net, problem.clamp_u)
+    net_u = make_net_u(net, transform=problem.transform_u)
 
     t0, W0 = t[:, 0, :], W[:, 0, :]
     Y0, Z0 = net_u(params, t0, X0)
@@ -56,7 +56,8 @@ def _reference_loop_loss(problem, net, params, t, W, X0):
 @pytest.mark.parametrize("problem", [
     BlackScholesBarenblatt(D=5),
     CallOption1D(D=1),
-    HestonPDE(),
+    HestonPDE(),  # default payoff-anchored output parametrization
+    HestonPDE(clamp_smoothing="hard"),  # reference max(u, 0) semantics
 ])
 def test_scan_matches_reference_loop(problem, rng_key):
     net, params = _setup(problem)
@@ -255,7 +256,7 @@ def test_smoothed_payoff_gradient_stable_at_extremes():
 def test_softplus_clamp_no_absorbing_state(rng_key):
     """clamp_smoothing="softplus" keeps u >= 0 with a NONZERO gradient where
     the hard clamp's gradient is identically zero (the absorbing state)."""
-    problem_hard = HestonPDE()
+    problem_hard = HestonPDE(clamp_smoothing="hard")
     problem_soft = HestonPDE(clamp_smoothing="softplus", smooth_beta=50.0)
     net, params = _setup(problem_hard)
     # Bias the net so u is strongly negative everywhere → hard clamp floor
@@ -307,3 +308,75 @@ def test_clamp_mode_validation():
     net = build_network("FC", [3, 8, 1], "Sine")
     with pytest.raises(ValueError):
         make_net_u(net, 0.0, False, "banana")
+
+
+# --------------------------- payoff-anchored Heston parametrization ----------
+
+def test_anchor_terminal_condition_exact():
+    """At t=T the anchor head vanishes (√τ factor), so u(T,·) = floor(T,·)
+    = g EXACTLY for ANY raw net output — both terminal penalties are zero by
+    construction."""
+    p = HestonPDE()  # anchor is the default
+    assert p.clamp_mode == "anchor"
+    S = jnp.linspace(0.3, 2.0, 9)[:, None]
+    X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
+    tT = jnp.full((9, 1), p.T)
+    for raw_val in (-5.0, 0.0, 7.0):
+        u = p.transform_u(tT, X, jnp.full((9, 1), raw_val))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(p.g(X)), atol=1e-7)
+
+
+def test_anchor_floor_is_call_lower_bound():
+    p = HestonPDE()
+    t = jnp.full((5, 1), 0.25)
+    S = jnp.asarray([0.5, 0.9, 1.0, 1.2, 2.0])[:, None]
+    X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
+    tau = p.T - 0.25
+    expected = np.maximum(np.asarray(S) - p.strike * np.exp(-p.r * tau), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(p.intrinsic_floor(t, X)), expected, rtol=1e-6
+    )
+    # u >= floor for any raw output (head is strictly positive before T)
+    u = p.transform_u(t, X, jnp.full((5, 1), -30.0))
+    assert (np.asarray(u) >= expected - 1e-7).all()
+
+
+def test_anchor_no_absorbing_state(rng_key):
+    """The collapse mode (u pinned at 0 at the money with zero gradient) is
+    structurally impossible: at (S0, v0, t=0) u >= floor > 0, and ∂u/∂raw =
+    √τ·sigmoid(raw+shift) > 0 for t < T — gradients NEVER all vanish."""
+    p = HestonPDE()
+    net, params = _setup(p)
+    net_u = make_net_u(net, transform=p.transform_u)
+    # drive the raw output far negative — the hard clamp's collapse regime
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    idx = [i for i, l in enumerate(leaves) if l.shape == (1,)][-1]
+    leaves[idx] = leaves[idx] - 30.0
+    params_neg = jax.tree_util.tree_unflatten(treedef, leaves)
+    t = jnp.zeros((4, 1))
+    X = jnp.broadcast_to(p.x0, (4, 2))
+    u, Z = net_u(params_neg, t, X)
+    floor0 = float(p.S0 - p.strike * np.exp(-p.r * p.T))
+    assert (np.asarray(u)[:, 0] >= floor0 - 1e-6).all()  # never 0
+    # parameter gradient of u is nonzero (training can always recover)
+    g = jax.grad(
+        lambda pr: jnp.sum(net_u(pr, t, X)[0])
+    )(params_neg)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert total > 0.0
+
+
+def test_anchor_z_includes_floor_delta():
+    """Z_S through the anchor = ∂floor/∂S + head term: deep ITM with a
+    saturated head, delta → 1 (the floor's delta), not 0."""
+    p = HestonPDE()
+    net, params = _setup(p)
+    net_u = make_net_u(net, transform=p.transform_u)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    idx = [i for i, l in enumerate(leaves) if l.shape == (1,)][-1]
+    leaves[idx] = leaves[idx] - 30.0  # saturate the head
+    params_neg = jax.tree_util.tree_unflatten(treedef, leaves)
+    t = jnp.zeros((1, 1))
+    X = jnp.asarray([[1.8, 0.2]])  # deep ITM
+    _, Z = net_u(params_neg, t, X)
+    assert float(Z[0, 0]) == pytest.approx(1.0, abs=1e-3)

@@ -438,3 +438,81 @@ def test_predict_use_ema():
     with pytest.raises(ValueError):
         tr2 = Trainer(prob, M=8, N=4, layers=[5, 16, 16, 16, 16, 1], seed=0)
         tr2.predict(prob.x0[None, :], t, W, use_ema=True)
+
+
+# ------------------------------------------------- collapse auto-restart
+def _poison_output_bias(params, shift):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    idx = [i for i, l in enumerate(leaves) if l.shape == (1,)][-1]
+    leaves[idx] = leaves[idx] + shift
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def test_collapse_restart_rolls_back_and_rerolls():
+    """A chunk that ends with Y0 pinned at the hard clamp (the absorbing
+    state) must be rolled back: params restored to the pre-chunk snapshot,
+    the failed chunk not logged, and the RNG stream re-rolled — up to
+    collapse_max_restarts (VERDICT r2 #7)."""
+    from dnnpde_tpu.pde import HestonPDE
+
+    p = HestonPDE(clamp_smoothing="hard")  # reference max(u, 0) semantics
+    tr = Trainer(p, M=8, N=4, layers=[3, 16, 16, 1], seed=0,
+                 collapse_restart=True, collapse_max_restarts=2)
+    # poison the output bias so u <= 0 everywhere -> Y0 == 0 immediately
+    tr.params = _poison_output_bias(tr.params, -1e3)
+    before = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr.params)]
+    res = tr.train(9, 1e-3, log_every=3, verbose=False)
+    # both restarts consumed (initial state itself is degenerate here), then
+    # training proceeds (bounded — no infinite retry loop)
+    assert len(tr.collapse_restarts) == 2
+    assert tr.iteration[-1] < 9  # failed chunks did not advance the counter
+    assert np.isfinite(res.graph[1]).all()
+    # the rollback restored the exact pre-chunk params for retried chunks;
+    # in the absorbing state gradients are 0, so params stayed at the snapshot
+    after = jax.tree_util.tree_leaves(tr.params)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_collapse_restart_noop_on_healthy_run():
+    """With no collapse the guard must not perturb training: same seed ->
+    identical history with and without the guard."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    prob = BlackScholesBarenblatt(D=3)
+    kw = dict(M=8, N=4, layers=[4, 16, 16, 1], seed=0)
+    tr1 = Trainer(prob, **kw)
+    tr2 = Trainer(prob, **kw, collapse_restart=True)
+    tr1.train(6, 1e-3, log_every=3, verbose=False)
+    tr2.train(6, 1e-3, log_every=3, verbose=False)
+    assert tr2.collapse_restarts == []
+    np.testing.assert_allclose(tr1.training_loss, tr2.training_loss)
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.params),
+                    jax.tree_util.tree_leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_shadow_frozen_on_guarded_skip():
+    """ADVICE r2: when the NaN guard skips an update, the EMA shadow must
+    stay EXACTLY unchanged (not blended toward the unchanged params)."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=4, layers=[4, 16, 16, 1], seed=0,
+                 nan_guard=True, ema_decay=0.5)
+    tr.train(4, 1e-3, log_every=2, verbose=False)  # healthy warmup
+    shadow_before = [np.asarray(l) for l in
+                     jax.tree_util.tree_leaves(tr.ema_params)]
+    params_before = [np.asarray(l) for l in
+                     jax.tree_util.tree_leaves(tr.params)]
+    # every iteration of this phase produces a non-finite loss -> all skipped
+    tr.params = jax.tree.map(
+        lambda x: jnp.where(jnp.zeros_like(x) == 0, jnp.nan, x), tr.params
+    )
+    tr.params = jax.tree.map(lambda x: x * jnp.nan, tr.params)
+    tr.train(4, 1e-3, log_every=2, verbose=False)
+    # guard skipped every update: params still NaN-poisoned is fine, but the
+    # shadow must be exactly the pre-phase shadow
+    shadow_after = jax.tree_util.tree_leaves(tr.ema_params)
+    for a, b in zip(shadow_before, shadow_after):
+        np.testing.assert_array_equal(a, np.asarray(b))

@@ -62,17 +62,21 @@ def _run(
     activation: str = "Sine",
     layers=None,
     seed: int = 0,
+    ema_decay: float | None = None,
 ) -> BenchRow:
     """Train through ``phases`` = ((n_iter, lr), ...); the legacy
     (iters, lrs) two-phase form is kept for callers that pass it, with the
-    sweep default (2000, 500) when neither is given."""
+    sweep default (2000, 500) when neither is given. With ``ema_decay`` the
+    headline ``learned_y0`` (and its rel error) is the Polyak/EMA-shadow
+    evaluation — the measured-better long-anneal read (round-2 studies) —
+    and the raw tail average is kept in ``config["raw_tail_y0"]``."""
     if phases is None:
         if iters is None:
             iters = (2000, 500)
         phases = tuple(zip(iters, lrs))
     trainer = Trainer(
         problem, M=M, N=N, layers=layers, mode=mode, activation=activation,
-        seed=seed,
+        seed=seed, ema_decay=ema_decay,
     )
     # compile outside the timed region (chunk length = 100)
     trainer.train(100, phases[0][1], log_every=100, verbose=False)
@@ -85,7 +89,19 @@ def _run(
     # average the final-phase tail — but never reach back into the previous
     # phase (each phase logs every 100 iters).
     fine_logs = max(1, phases[-1][0] // 100)
-    learned = float(np.mean(trainer.y0_log[-min(3, fine_logs):]))
+    raw_tail = float(np.mean(trainer.y0_log[-min(3, fine_logs):]))
+    extra_cfg = {}
+    if ema_decay is not None:
+        import jax.numpy as jnp
+
+        u, _ = trainer.net_u(
+            trainer.ema_params, jnp.zeros((1, 1)),
+            jnp.asarray(problem.x0)[None, :],
+        )
+        learned = float(u[0, 0])
+        extra_cfg = dict(ema_decay=ema_decay, raw_tail_y0=raw_tail)
+    else:
+        learned = raw_tail
     rel = abs(learned - oracle_y0) / max(abs(oracle_y0), 1e-12)
     return BenchRow(
         name=name,
@@ -96,7 +112,7 @@ def _run(
         rel_error=float(rel),
         wall_time_s=wall,
         config=dict(M=M, N=N, D=problem.dim, mode=mode, activation=activation,
-                    phases=[list(p) for p in phases]),
+                    phases=[list(p) for p in phases], **extra_cfg),
     )
 
 
@@ -140,25 +156,78 @@ def bench_basket_100d(iters=None, seed: int = 0) -> BenchRow:
 
 
 def bench_hjb_100d(iters=None, seed: int = 0) -> BenchRow:
-    """100D HJB, Naisnet-ReLU, M=16 (reference ``hjb_implement.py:1122-1146``;
-    oracle: 1e5-sample MC)."""
+    """100D HJB, Naisnet-ReLU (reference ``hjb_implement.py:1122-1146``;
+    oracle: 1e5-sample MC).
+
+    Default protocol is the measured-best (round-2 study hjb_best_accuracy:
+    M=128 + 20k 3-phase anneal + EMA reaches ~0.1–0.2%, vs 2.5–7.9% for the
+    reference's gradient-noise-limited M=16 / 2.5k budget). Pass ``iters``
+    for the legacy reference-config row (M=16, two-phase)."""
     p = HamiltonJacobiBellman(D=100)
     oracle = float(hjb_exact_mc(jax.random.PRNGKey(0), 0.0, np.zeros(100)))
-    return _run("hjb_100d_naisnet_relu", p, oracle, M=16, N=50, iters=iters,
-                lrs=(1e-3, 1e-4), mode="Naisnet", activation="ReLU", seed=seed)
+    if iters is not None:
+        return _run("hjb_100d_naisnet_relu", p, oracle, M=16, N=50,
+                    iters=iters, lrs=(1e-3, 1e-4), mode="Naisnet",
+                    activation="ReLU", seed=seed)
+    return _run(
+        "hjb_100d_naisnet_relu", p, oracle, M=128, N=50,
+        phases=((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)),
+        mode="Naisnet", activation="ReLU", seed=seed, ema_decay=0.999,
+    )
 
 
 def bench_heston(iters=None, seed: int = 0) -> BenchRow:
     """Heston M=128 (reference ``heston_dnnpde.py:1226-1273``; oracle:
-    corrected closed form)."""
+    corrected closed form).
+
+    Runs the payoff-anchored output parametrization (the HestonPDE default —
+    collapse-free by construction). Default protocol is the measured-best
+    round-3 one: 20k 3-phase anneal at N=50 AND N=100 with the first-order
+    Richardson combination 2·Y0(100) − Y0(50) as the headline (the trained
+    Y0 equals the discrete-N BSDE value to ~0.3% seed spread; the residual
+    vs the closed form is the backward recursion's O(dt) bias, which the
+    combination cancels — train/extrapolation.py). Pass ``iters`` for the
+    legacy two-phase reference budget at N=50."""
     p = HestonPDE()
     oracle = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
                      sigma=p.sigma_v, rho=p.rho, v0=p.v0),
     ))
-    return _run("heston_m128", p, oracle, M=128, N=50, iters=iters,
-                lrs=(1e-3, 1e-5), seed=seed)
+    if iters is not None:
+        return _run("heston_m128", p, oracle, M=128, N=50, iters=iters,
+                    lrs=(1e-3, 1e-5), seed=seed)
+    from dnnpde_tpu.train.extrapolation import richardson_y0
+
+    phases = ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5))
+    M = 128
+    trainers = tuple(
+        Trainer(p, M=M, N=n, mode="FC", activation="Sine") for n in (50, 100)
+    )
+    for tr in trainers:  # compile both chunk programs outside the timer
+        tr.train(250, 1e-3, log_every=250, verbose=False)
+        tr.train(500, 1e-3, log_every=500, verbose=False)
+    t0 = time.perf_counter()
+    out = richardson_y0(p, M=M, N=50, phases=phases, seed=seed,
+                        trainers=trainers)
+    wall = time.perf_counter() - t0
+    total_iters = 2 * (250 + sum(n for n, _ in phases))  # both resolutions
+    learned = out["y0_richardson"]
+    rel = abs(learned - oracle) / max(abs(oracle), 1e-12)
+    return BenchRow(
+        name="heston_m128",
+        iters_per_sec=total_iters / wall,
+        # N=50 + N=100 phases: 150·M path-steps per iteration pair
+        paths_steps_per_sec=(250 + 20000) * M * 150 / wall,
+        learned_y0=float(learned),
+        oracle_y0=float(oracle),
+        rel_error=float(rel),
+        wall_time_s=wall,
+        config=dict(M=M, N=[50, 100], D=p.dim, mode="FC", activation="Sine",
+                    phases=[list(ph) for ph in phases],
+                    richardson=True, y0_n50=out["y0_N"],
+                    y0_n100=out["y0_2N"]),
+    )
 
 
 ALL_BENCHES: dict[str, Callable[..., BenchRow]] = {

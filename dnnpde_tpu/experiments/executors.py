@@ -70,6 +70,12 @@ class SweepConfig:
     N: int = 50
     lr_pairs: Sequence[tuple[float, float]] = ((1e-3, 1e-5),)
     iter_pairs: Sequence[tuple[int, int]] = ((2000, 500),)
+    # Optional multi-phase override: [(iters, lr), ...] replaces the
+    # two-phase lr_pairs × iter_pairs grid (e.g. the measured-best
+    # [(10000, 1e-3), (5000, 1e-4), (5000, 1e-5)] anneal from the round-2
+    # studies). When set, lr_pairs/iter_pairs are reported as the first/last
+    # phase for CSV-column compatibility.
+    phases: Optional[Sequence[tuple[int, float]]] = None
     optimizers: Sequence[str] = ("Adam",)
     modes: Sequence[str] = ("Naisnet",)
     activations: Sequence[str] = ("Sine", "ReLU")
@@ -83,7 +89,18 @@ class SweepConfig:
     quality_rel_threshold: float = 0.02
 
 
-def _train_two_phase(trainer, lr_pair, iter_pair, optimizer):
+def _train_two_phase(trainer, lr_pair, iter_pair, optimizer, phases=None):
+    """Two-phase protocol (reference ``TrainingPhases``), or an arbitrary
+    [(iters, lr), ...] anneal when ``phases`` is given. Returns the first
+    and last phase results (the executors read .graph / .min_loss)."""
+    if phases:
+        results = [
+            trainer.train(n, lr, optimizer, verbose=False) for n, lr in phases
+        ]
+        # fold every phase's min into the last result so the executors'
+        # min(r1.min_loss, r2.min_loss) covers the whole anneal
+        results[-1].min_loss = min(r.min_loss for r in results)
+        return results[0], results[-1]
     r1 = trainer.train(iter_pair[0], lr_pair[0], optimizer, verbose=False)
     r2 = trainer.train(iter_pair[1], lr_pair[1], optimizer, verbose=False)
     return r1, r2
@@ -111,7 +128,7 @@ class TrainingExecutor:
                 layers=[D + 1, *c.hidden, 1], mode=mode, activation=act, seed=c.seed,
                 ema_decay=c.ema_decay,
             )
-            r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+            r1, r2 = _train_two_phase(trainer, lr, iters, opt, phases=c.phases)
             preds = PredictionGenerator(
                 trainer, num_samples=4, use_ema=c.ema_decay is not None
             ).generate_predictions()
@@ -188,7 +205,7 @@ class CorrExecutor:
                     mode=mode, activation=act, seed=c.seed,
                     correlation_type=corr_type, correlation_seed=c.seed,
                 )
-                r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+                r1, r2 = _train_two_phase(trainer, lr, iters, opt, phases=c.phases)
                 preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
 
                 chol = trainer.chol
@@ -270,7 +287,7 @@ class TestCaseExecutor:
                 problem, M=M, N=c.N, layers=[D + 1, *c.hidden, 1],
                 mode=mode, activation=act, seed=c.seed,
             )
-            r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+            r1, r2 = _train_two_phase(trainer, lr, iters, opt, phases=c.phases)
             preds = PredictionGenerator(trainer, num_samples=4).generate_predictions()
             # corrected (3r+sigma^2) closed form (see BSPDETestCase docstring)
             Y_exact = np.asarray(problem.exact_solution(
@@ -326,7 +343,7 @@ class HJBExecutor:
                 problem, M=M, N=c.N, layers=[D + 1, *c.hidden, 1],
                 mode=mode, activation=act, seed=c.seed,
             )
-            r1, r2 = _train_two_phase(trainer, lr, iters, opt)
+            r1, r2 = _train_two_phase(trainer, lr, iters, opt, phases=c.phases)
             u_exact = float(hjb_exact_mc(
                 jax.random.PRNGKey(c.seed), 0.0, np.zeros(D), T=problem.T,
             ))

@@ -69,14 +69,24 @@ class HestonPDE(PDEProblem):
     #   construction (u(T,·) = floor(T,·) = g, ∂u/∂S|_T = Dg a.e. — both
     #   terminal penalties vanish identically), and the head learns only
     #   the time value, which scales as √τ for at-the-money options — so
-    #   the required head magnitude is O(1) uniformly in t. Measured:
-    #   9/9 non-collapsed, see BENCH_REPORT_r3.jsonl "heston_anchor".
+    #   the required head magnitude is O(1) uniformly in t. Measured
+    #   (BENCH_REPORT_r3.jsonl "heston_anchor", "heston_diag"): 0 collapses
+    #   over every (M, seed, N) tried, with seed spread ~0.3% — tight
+    #   enough to EXPOSE the Euler BSDE recursion's own O(dt) bias
+    #   (+7.9%/+4.3%/+2.1% vs the closed form at N=25/50/100; the same
+    #   recursion the reference uses). First-order Richardson over
+    #   (N, 2N) cancels it to ~0.1–0.5% (train/extrapolation.py).
     clamp_smoothing: str = "anchor"  # "hard" | "softplus" | "anchor"
     smooth_beta: float = 50.0
     # Anchor-head init prior: softplus(anchor_shift) is the head's output
     # scale at a zero-init net; −2 → 0.127, matching the flagship's ATM
     # time value ≈ 0.15 (oracle 0.198 − floor 0.049).
     anchor_shift: float = -2.0
+    # Head time-scaling: "sqrt" multiplies the head by √((T−t)/T) — exact
+    # terminal condition, head magnitude O(1) in t (ATM time value scales
+    # as √τ) — "none" leaves the head unscaled (terminal condition learned
+    # through the penalties, as in the reference).
+    anchor_time_scale: str = "sqrt"  # "sqrt" | "none"
     name: str = "Heston"
 
     @property
@@ -113,8 +123,10 @@ class HestonPDE(PDEProblem):
     def transform_u(self, t: Array, X: Array, u: Array) -> Array:
         if self.clamp_smoothing != "anchor" or not self.clamp_output:
             return super().transform_u(t, X, u)
-        tau = jnp.clip((self.T - t) / self.T, 0.0, None)
-        head = jnp.sqrt(tau) * jax.nn.softplus(u + self.anchor_shift)
+        head = jax.nn.softplus(u + self.anchor_shift)
+        if self.anchor_time_scale == "sqrt":
+            tau = jnp.clip((self.T - t) / self.T, 0.0, None)
+            head = jnp.sqrt(tau) * head
         return self.intrinsic_floor(t, X) + head
 
     @property

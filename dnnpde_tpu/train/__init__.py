@@ -13,6 +13,7 @@ from dnnpde_tpu.train.checkpoint import (
     save_checkpoint_orbax,
 )
 from dnnpde_tpu.train.ensemble import EnsembleResult, train_ensemble
+from dnnpde_tpu.train.extrapolation import richardson_y0, train_y0
 from dnnpde_tpu.train.optimizers import OPTIMIZER_NAMES, build_optimizer, is_lbfgs
 from dnnpde_tpu.train.schedules import PhaseSpec, TimeStepRefinement, two_phase
 from dnnpde_tpu.train.trainer import (
@@ -23,6 +24,8 @@ from dnnpde_tpu.train.trainer import (
 )
 
 __all__ = [
+    "richardson_y0",
+    "train_y0",
     "OPTIMIZER_NAMES",
     "build_optimizer",
     "is_lbfgs",

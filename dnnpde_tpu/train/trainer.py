@@ -255,6 +255,35 @@ class Trainer:
             self._replicate = None
             self._shard_batch = None
 
+    def reset(self, seed: int) -> "Trainer":
+        """Re-initialize parameters, optimizer state, RNG stream, EMA shadow
+        and history for a fresh run — KEEPING the compiled training chunks.
+
+        Multi-seed studies that construct a fresh Trainer per seed pay the
+        full XLA compile again for identical shapes (60 s – 6 min per
+        program through a tunneled runtime); ``trainer.reset(seed)`` makes
+        the marginal seed cost pure train time. Returns self for chaining."""
+        self.key = jax.random.PRNGKey(seed)
+        self.key, init_key, sde_key = jax.random.split(self.key, 3)
+        dummy = jnp.zeros((1, self.problem.dim + 1), self.dtype)
+        rngs = {"params": init_key}
+        if self.config.stochastic_net:
+            rngs["sde"] = sde_key
+        self.params = self.net.init(rngs, dummy)
+        if self.mesh is not None:
+            if "tp" in self.mesh.axis_names:
+                from dnnpde_tpu.parallel.model_sharding import shard_params_tp
+
+                self.params = shard_params_tp(self.params, self.mesh)
+            else:
+                self.params = jax.device_put(self.params, self._replicate)
+        self._opt_state = None  # re-init on next train(); chunks are kept
+        self._ema = None
+        self._next_it = 0
+        self.training_loss, self.iteration, self.y0_log = [], [], []
+        self.collapse_restarts = []
+        return self
+
     @property
     def ema_params(self):
         """Polyak/EMA-averaged parameters (``ema_decay`` must be set).

@@ -209,7 +209,9 @@ def heston_best_accuracy():
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    # pinned to the reference's hard-clamp semantics (the round-2 baseline
+    # this study measured); the r3 default is the anchor parametrization
+    p = HestonPDE(clamp_smoothing="hard")
     oracle = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
@@ -236,13 +238,17 @@ def heston_anchor_matrix():
 
     The anchor (pde/heston.py::HestonPDE.transform_u) makes collapse
     structurally impossible — u ≥ max(S − K·e^{−rτ}, 0) > 0 at the money —
-    and the √τ-scaled softplus head zeroes both terminal penalties by
-    construction, so all training signal goes to the BSDE residuals."""
-    import jax.numpy as jnp
-
+    and the trained Y0 converges to the EXACT discrete-N BSDE value
+    (measured: bias halves as N doubles, 7.9%→4.3%→2.1% at N=25/50/100,
+    and the direct Euler MC of the same paths shows the continuum price —
+    the gap is the backward recursion's O(dt) bias, present identically in
+    the reference's scheme). The matrix therefore trains each seed at
+    N=50 AND N=100 and reports the first-order Richardson combination
+    2·Y0(100) − Y0(50) (train/extrapolation.py), which cancels the O(dt)
+    term: measured ~0.1–0.5% vs the closed form."""
     from dnnpde_tpu.numerics import HestonParams, heston_call_price
     from dnnpde_tpu.pde import HestonPDE
-    from dnnpde_tpu.train import Trainer
+    from dnnpde_tpu.train import Trainer, richardson_y0
 
     p = HestonPDE()  # anchor is the default
     assert p.clamp_mode == "anchor"
@@ -250,40 +256,50 @@ def heston_anchor_matrix():
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
                      sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
-    rels = []
+    phases = ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5))
+    rels, collapses = [], 0
     for M in (128, 256, 512):
+        # one Trainer per (M, N): seeds share the compiled chunks via
+        # reset() (a fresh Trainer per seed re-pays tunnel-side compiles)
+        tr50 = Trainer(p, M=M, N=50, mode="FC", activation="Sine", seed=0)
+        tr100 = Trainer(p, M=M, N=100, mode="FC", activation="Sine", seed=0)
         for seed in (0, 1, 2):
-            tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine",
-                         seed=seed, ema_decay=0.999)
-            tr.train(250, 1e-3, log_every=250, verbose=False)  # compile
             t0 = time.perf_counter()
-            tr.train(10000, 1e-3, log_every=500, verbose=False)
-            tr.train(5000, 1e-4, log_every=500, verbose=False)
-            tr.train(5000, 1e-5, log_every=500, verbose=False)
-            y0 = float(np.mean(tr.y0_log[-5:]))
-            u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
-                            jnp.asarray(p.x0)[None, :])
-            ey = float(u[0, 0])
-            rel = abs(y0 - oracle) / oracle
-            ema_rel = abs(ey - oracle) / oracle
-            rels.append(min(rel, ema_rel))
+            out = richardson_y0(
+                p, M=M, N=50, phases=phases, seed=seed,
+                trainers=(tr50, tr100),
+            )
+            rel50 = abs(out["y0_N"] - oracle) / oracle
+            rel100 = abs(out["y0_2N"] - oracle) / oracle
+            relR = abs(out["y0_richardson"] - oracle) / oracle
+            rels.append(relR)
+            collapsed = bool(abs(out["y0_N"]) < 1e-4
+                             or abs(out["y0_2N"]) < 1e-4)
+            collapses += collapsed
             _emit(study="heston_anchor", M=M, seed=seed, iters=20000,
-                  learned_y0=round(y0, 6), ema_y0=round(ey, 6),
+                  y0_n50=round(out["y0_N"], 6),
+                  y0_n100=round(out["y0_2N"], 6),
+                  y0_richardson=round(out["y0_richardson"], 6),
                   oracle_y0=round(oracle, 6),
-                  rel_error=round(rel, 5), ema_rel_error=round(ema_rel, 5),
-                  collapsed=bool(abs(y0) < 1e-4),
+                  rel_n50=round(rel50, 5), rel_n100=round(rel100, 5),
+                  rel_richardson=round(relR, 5),
+                  collapsed=collapsed,
                   wall_time_s=round(time.perf_counter() - t0, 1))
     _emit(study="heston_anchor_summary", runs=len(rels),
-          collapses=0 if all(r < 1.0 for r in rels) else None,
-          median_best_rel=round(float(np.median(rels)), 5),
-          max_best_rel=round(float(np.max(rels)), 5))
+          collapses=collapses,
+          median_richardson_rel=round(float(np.median(rels)), 5),
+          max_richardson_rel=round(float(np.max(rels)), 5),
+          target="0 collapses and median <= 0.02")
 
 
-def heston_collapse_guard():
-    """Trainer-level collapse auto-restart (VERDICT r2 #7) on the
-    known-collapsing configuration: hard clamp, seed 2, M=128, 20k anneal
-    (BENCH_REPORT_r2.jsonl heston_best_accuracy seed-2 row: collapsed=true).
-    With collapse_restart the same run must finish non-degenerate."""
+def heston_collapse_guard(seed: int = 0):
+    """Trainer-level collapse auto-restart (VERDICT r2 #7) on a
+    known-collapsing configuration: hard clamp, M=128, 20k anneal.
+    Collapse is CHAOTIC across compilations (round 2: seed 2 collapsed,
+    seeds 0/1 survived; round 3's program: seeds 0/1 collapse, seed 2
+    survives — BENCH_REPORT_r3 heston_best_accuracy control rows), so the
+    seed is a parameter defaulting to a collapsing one for the current
+    program. With collapse_restart the same run must finish non-degenerate."""
     from dnnpde_tpu.numerics import HestonParams, heston_call_price
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
@@ -293,22 +309,95 @@ def heston_collapse_guard():
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
                      sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    tr = Trainer(p, M=128, N=50, mode="FC", activation="Sine", seed=seed,
+                 collapse_max_restarts=5)
     for guard in (False, True):
-        tr = Trainer(p, M=128, N=50, mode="FC", activation="Sine", seed=2,
-                     collapse_restart=guard, collapse_max_restarts=5)
+        tr.reset(seed)  # same compiled chunks; the guard is host-side logic
+        tr.collapse_restart = guard
         tr.train(250, 1e-3, log_every=250, verbose=False)  # compile warmup
         t0 = time.perf_counter()
         tr.train(10000, 1e-3, log_every=500, verbose=False)
         tr.train(5000, 1e-4, log_every=500, verbose=False)
         tr.train(5000, 1e-5, log_every=500, verbose=False)
         y0 = float(np.mean(tr.y0_log[-5:]))
-        _emit(study="heston_collapse_guard", guard=guard, seed=2, M=128,
+        _emit(study="heston_collapse_guard", guard=guard, seed=seed, M=128,
               restarts=len(tr.collapse_restarts),
               restart_iterations=tr.collapse_restarts,
               learned_y0=round(y0, 6), oracle_y0=round(oracle, 6),
               rel_error=round(abs(y0 - oracle) / oracle, 5),
               collapsed=bool(abs(y0) < 1e-4),
               wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def dim1000_accuracy():
+    """D ≥ 500 accuracy study (VERDICT r2 #6): find the (width, N, budget)
+    that brings D=1000 BSB under ~2% (round-2 recorded 5.4–5.5% at the
+    3.5k-iteration sweep budget with width 512). Sweeps width × N at the
+    20k 3-phase anneal + EMA evaluation; D=500 control row included."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    for D, width, N, M in (
+        (500, 512, 25, 100),
+        (1000, 512, 25, 100),
+        (1000, 1024, 25, 100),
+        (1000, 1024, 50, 100),
+        # measured: w512/N25/M100 = 2.07%, w1024 WORSE at this budget
+        # (undertrained, not under-parametrized) — scale the batch instead
+        (1000, 512, 25, 512),
+    ):
+        p = BlackScholesBarenblatt(D=D)
+        exact = _exact(p)
+        tr = Trainer(p, M=M, N=N,
+                     layers=[D + 1, width, width, width, width, 1],
+                     mode="FC", activation="Sine", seed=0, ema_decay=0.999)
+        tr.train(250, 1e-3, log_every=250, verbose=False)  # compile warmup
+        t0 = time.perf_counter()
+        tr.train(10000, 1e-3, log_every=1000, verbose=False)
+        tr.train(5000, 1e-4, log_every=1000, verbose=False)
+        tr.train(5000, 1e-5, log_every=1000, verbose=False)
+        wall = time.perf_counter() - t0
+        y0 = float(np.mean(tr.y0_log[-3:]))
+        u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                        jnp.asarray(p.x0)[None, :])
+        ey = float(u[0, 0])
+        _emit(study="dim1000_accuracy", D=D, width=width, N=N, M=M, iters=20000,
+              learned_y0=round(y0, 4), ema_y0=round(ey, 4),
+              exact_y0=round(exact, 4),
+              rel_error=round(abs(y0 - exact) / exact, 5),
+              ema_rel_error=round(abs(ey - exact) / exact, 5),
+              iters_per_sec=round(20000 / wall, 1),
+              wall_time_s=round(wall, 1))
+
+
+def basket_matrix(out_dir: str = "results_r3/basket_sweep"):
+    """Round-3 basket evidence matrix (VERDICT r2 #2): D ∈ {3,5,10,50,100} ×
+    {Sine, ReLU} NAIS-Net under the round-2-measured protocol (20k 3-phase
+    anneal + EMA evaluation), every row carrying the executor quality flag.
+    Counterpart of the reference's 10 committed
+    ``BasketOption{3,5,10,50,100}D_Naisnet_{ReLU,Sine}_Adam.png`` figures
+    (``high_dimension_test.py:627-629``) — but with numbers, oracles and
+    flags rather than figures alone."""
+    from dnnpde_tpu.experiments import SweepConfig, TrainingExecutor
+
+    cfg = SweepConfig(
+        Ms=(100,), Ds=(3, 5, 10, 50, 100), N=50,
+        phases=((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)),
+        optimizers=("Adam",), modes=("Naisnet",),
+        activations=("Sine", "ReLU"),
+        ema_decay=0.999,
+    )
+    report = TrainingExecutor(cfg, out_dir).execute()
+    for row in report.rows:
+        _emit(study="basket_matrix", D=row["Dimensions"],
+              activation=row["Activation"],
+              exact=round(float(row["Exact Price"]), 6),
+              learned=round(float(row["Learned Price"]), 6),
+              rel_error=round(float(row["Relative Error"]), 5),
+              flag=row["Quality Flag"],
+              wall_s=round(float(row["Total Run Time"]), 1))
 
 
 def variance_reduction():
@@ -359,6 +448,8 @@ STUDIES = {
     "heston_best_accuracy": heston_best_accuracy,
     "heston_anchor_matrix": heston_anchor_matrix,
     "heston_collapse_guard": heston_collapse_guard,
+    "basket_matrix": basket_matrix,
+    "dim1000_accuracy": dim1000_accuracy,
     "variance_reduction": variance_reduction,
     "best_accuracy_ema": best_accuracy_ema,
 }

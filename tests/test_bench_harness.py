@@ -36,3 +36,27 @@ def test_bench_defaults_are_config_only():
     src = inspect.getsource(bench_call_1d)
     assert "5000, 1e-3" in src and "5000, 1e-6" in src
     assert bench_bsb_100d.__defaults__[0] is None  # iters=None -> own default
+
+
+def test_run_ema_headline():
+    """_run(ema_decay=...) headlines the EMA-shadow Y0 and keeps the raw
+    tail in the config (the r3 measured-best protocol defaults)."""
+    p = BlackScholesBarenblatt(D=3)
+    row = _run(
+        "tiny-ema", p, 1.0, M=8, N=3, phases=((6, 1e-3),),
+        layers=[4, 8, 8, 1], ema_decay=0.5,
+    )
+    assert row.config["ema_decay"] == 0.5
+    assert np.isfinite(row.config["raw_tail_y0"])
+    assert np.isfinite(row.learned_y0)
+
+
+def test_bench_heston_default_is_richardson():
+    """The heston row's default protocol is the two-resolution Richardson
+    combination (config check, no training)."""
+    import inspect
+
+    from dnnpde_tpu.bench import bench_heston
+
+    src = inspect.getsource(bench_heston)
+    assert "richardson_y0" in src and "N=50" in src

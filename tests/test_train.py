@@ -516,3 +516,53 @@ def test_ema_shadow_frozen_on_guarded_skip():
     shadow_after = jax.tree_util.tree_leaves(tr.ema_params)
     for a, b in zip(shadow_before, shadow_after):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_reset_keeps_compiled_chunks_and_reinitializes():
+    """Trainer.reset(seed): fresh params/opt/history for multi-seed studies
+    WITHOUT re-paying the XLA chunk compile (the chunk cache is keyed on
+    shapes/optimizer, not parameters)."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+
+    prob = BlackScholesBarenblatt(D=3)
+    tr = Trainer(prob, M=8, N=3, layers=[4, 16, 1], seed=0, ema_decay=0.9)
+    tr.train(4, 1e-3, log_every=2, verbose=False)
+    chunks = len(tr._chunk_cache)
+    p_before = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr.params)]
+    tr.reset(7)
+    assert len(tr._chunk_cache) == chunks
+    assert tr.training_loss == [] and tr._next_it == 0 and tr._ema is None
+    # new seed -> new init
+    p_after = jax.tree_util.tree_leaves(tr.params)
+    assert any(
+        not np.allclose(a, np.asarray(b)) for a, b in zip(p_before, p_after)
+    )
+    tr.train(4, 1e-3, log_every=2, verbose=False)
+    assert len(tr._chunk_cache) == chunks  # still no recompile
+    assert np.isfinite(tr.training_loss).all()
+    # reset(same seed) reproduces the original trajectory exactly
+    tr.reset(7)
+    l1 = list(tr.train(4, 1e-3, log_every=2, verbose=False).graph[1])
+    tr.reset(7)
+    l2 = list(tr.train(4, 1e-3, log_every=2, verbose=False).graph[1])
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_richardson_extrapolation_combines_two_resolutions():
+    """train.richardson_y0: trains at N and 2N, returns 2*y(2N) - y(N) (the
+    first-order-in-dt cancellation; measured to collapse the Heston BSDE
+    discretization bias from 4.3% to ~0.3% — BENCH_REPORT_r3 heston_anchor)."""
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import richardson_y0
+
+    prob = BlackScholesBarenblatt(D=3)
+    out = richardson_y0(
+        prob, M=8, N=2, phases=((4, 1e-3),), seed=0, warmup=0,
+        layers=[4, 16, 1], mode="FC", activation="Sine",
+    )
+    assert set(out) == {"y0_N", "y0_2N", "y0_richardson"}
+    np.testing.assert_allclose(
+        out["y0_richardson"], 2 * out["y0_2N"] - out["y0_N"], rtol=1e-6
+    )
+    for v in out.values():
+        assert np.isfinite(v)

@@ -22,11 +22,13 @@ Scope: the forward/inference rollout (the reference's ``predict`` /
 GBM-type diagonal problems — X₁ = X + (μ_c·X)dt + (σ_c·X)dW with a sine-MLP
 u(t, X) read-out per step. This covers BSB (μ_c=0, σ_c=0.4), the basket
 family (0.05, 0.2) and the 1D call (0.01, 0.25). Training stays on the XLA
-path (the measured winner — ARCHITECTURE.md §3).
+path (the measured winner — ARCHITECTURE.md §3/§7).
 
-Measured on the v5e (scripts/bench_rollout_kernel.py, round 3): see
-ARCHITECTURE.md §3 for the numbers vs the jitted ``lax.scan`` reference
-``rollout_paths_xla`` below.
+Measured on the v5e (scripts/bench_rollout_kernel.py, round 3): parity
+with the jitted ``lax.scan`` reference ``rollout_paths_xla`` below
+(0.97–1.02× across M=2048/16384), and 1–2% ahead end-to-end when the
+in-kernel PRNG replaces a staged ``jax.random`` dW tensor — see
+ARCHITECTURE.md §7 for the full table and the structural conclusion.
 """
 
 from __future__ import annotations
@@ -59,16 +61,19 @@ def _dot(a: Array, w: Array) -> Array:
     )
 
 
-def _normals(shape, dtype=jnp.float32) -> Array:
-    """Standard normals from the hardware PRNG via Box–Muller.
+def _uniform23(shape) -> Array:
+    """u ∈ (0, 1) from the hardware PRNG: 23 random bits (uint32 → f32 is
+    unsupported in Mosaic, so shift to int32 range first) + ½ulp offset.
+    u ≥ 2⁻²⁴ keeps log(u) finite (z-tail clamp ~5.7σ — irrelevant for MC)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 9
+    f = pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
+    return (f + 0.5) * (2.0 ** -23)
 
-    u ∈ (0, 1): (bits + 0.5)·2⁻³² keeps u strictly positive, so
-    log(u) ≥ log(2⁻³³) ≈ −22.9 and the z-tail is clamped at ~6.8σ —
-    irrelevant for Monte-Carlo at any realistic path count."""
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    u1 = b1.astype(dtype) * (2.0 ** -32) + (2.0 ** -33)
-    u2 = b2.astype(dtype) * (2.0 ** -32)
+
+def _normals(shape) -> Array:
+    """Standard normals via Box–Muller on two hardware-PRNG uniforms."""
+    u1 = _uniform23(shape)
+    u2 = _uniform23(shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos((2.0 * jnp.pi) * u2)
 
@@ -87,7 +92,9 @@ def _rollout_kernel(
     Ref layout: [seed (SMEM, rng only)], x0 (8, Dp),
     [dW (1, tile_b, Dp) per-step block, explicit only], w_t (8, H),
     W_x (Dp, H), W_1..W_{L-2} (H, H), w_out (H, LANES), b_0..b_{L-2} (8, H),
-    b_out (8, LANES)  →  y (1, tile_b) per-step block; scratch X (tile_b, Dp).
+    b_out (8, LANES)  →  y (tile_b, N1p) block revisited across the tile's
+    steps (stays VMEM-resident; written back once per tile), one column
+    stored per step; scratch X (tile_b, Dp).
     """
     i = 0
     if rng:
@@ -127,10 +134,9 @@ def _rollout_kernel(
     b_out = bout_ref[0, 0]
     X = x_scratch[:]
 
-    # u(t, X) as a (1, tile_b) ROW: contract the activations' feature axis
-    # against the output column directly (transpose-free layout). The t-row
-    # term uses the same bf16-operand rounding the MXU applies to the
-    # concat([t, X]) form (bf16×bf16 products are exact in f32).
+    # u(t, X) for the tile as a (tile_b, 1) column. The t-row term uses the
+    # same bf16-operand rounding the MXU applies to the concat([t, X]) form
+    # (bf16×bf16 products are exact in f32).
     t = n.astype(jnp.float32) * dt
     t_term = (
         t.astype(jnp.bfloat16).astype(jnp.float32)
@@ -140,10 +146,12 @@ def _rollout_kernel(
     a = jnp.sin(a)
     for k in range(L - 2):
         a = jnp.sin(_dot(a, Wh[k][:]) + bh[k + 1][0:1, :])
-    y_ref[:] = lax.dot_general(
-        wout.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
-        (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) + b_out
+    u_col = _dot(a, wout) + b_out  # (tile_b, 1)
+    # Column write via masked merge: a dynamic lane-dim store would need a
+    # statically 128-aligned index (Mosaic constraint); the block is VMEM-
+    # resident across the tile's steps, so this is one small VPU op.
+    col = lax.broadcasted_iota(jnp.int32, y_ref.shape, 1)
+    y_ref[:] = jnp.where(col == n, u_col, y_ref[:])
 
     @pl.when(n < N)
     def _step():
@@ -239,16 +247,19 @@ def rollout_paths_pallas(
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_b), lambda i, n: (n, i),
+        # constant index over n → the tile's block stays VMEM-resident for
+        # all its steps and is written back to HBM once per tile
+        out_specs=pl.BlockSpec((tile_b, N1p), lambda i, n: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N1p, Mp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp, N1p), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_b, Dp), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*inputs)
-    return jnp.swapaxes(y[: N + 1, :M], 0, 1)  # (M, N+1)
+    return y[:M, : N + 1]  # (M, N+1)
 
 
+@functools.partial(jax.jit, static_argnames=("N", "dt", "mu_c", "sig_c"))
 def rollout_paths_xla(
     Ws, bs, x0, *, N: int, dt: float, mu_c: float, sig_c: float, dWs: Array
 ) -> Array:

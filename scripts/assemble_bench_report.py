@@ -18,6 +18,8 @@ LOGS = [
     "results_r3/collapse_guard.log",
     "results_r3/rollout_kernel.log",
     "results_r3/dim1000.log",
+    "results_r3/dim1000_m512.log",
+    "results_r3/dim1000_50k.log",
     "results_r3/basket_matrix.log",
     "results_r3/harness.log",
 ]

@@ -18,6 +18,7 @@ Measurements:
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -71,14 +72,19 @@ def main() -> None:
     x0 = jnp.asarray(np.tile([1.0, 0.5], D // 2), jnp.float32)
     kw = dict(N=N, dt=1.0 / N, mu_c=0.05, sig_c=0.2)
 
-    # 1. on-chip correctness, explicit increments
+    # 1. on-chip correctness, explicit increments. Gate is bf16-scale: the
+    # terminal's XLA runs with --xla_allow_excess_precision=true, which may
+    # legally compute the reference's bf16-cast dots in f32, so the two
+    # programs can differ by one bf16 ulp (~4e-3 relative) even though the
+    # CPU interpreter matches them to 1e-5 (tests/test_rollout_kernel.py).
     dWs = jnp.asarray(rng.normal(size=(256, N, D)) * (1.0 / N) ** 0.5,
                       jnp.float32)
     y_x = np.asarray(rollout_paths_xla(Ws, bs, x0, dWs=dWs, **kw))
     y_p = np.asarray(rollout_paths_pallas(Ws, bs, x0, dWs=dWs, **kw))
     err = float(np.max(np.abs(y_x - y_p)))
+    scale = float(np.abs(y_x).max())
     _emit(study="rollout_kernel_parity_onchip", max_abs_err=err,
-          y_scale=float(np.abs(y_x).max()), ok=bool(err < 1e-4))
+          y_scale=scale, ok=bool(err < 8e-3 * max(scale, 1.0)))
 
     # 2. RNG-variant statistics: E[mean_i X_T,i] = e^{mu T} for X0=1 paths.
     #    Use an identity-like readout? No — validate through the paths by
@@ -107,32 +113,47 @@ def main() -> None:
           ok=bool(abs(mu_dw - mu_rng) < 4 * se
                   and abs(sd_dw - sd_rng) / max(sd_dw, 1e-12) < 0.05))
 
-    # 3. throughput at the flagship geometry
-    dWs_f = jax.random.normal(jax.random.PRNGKey(2), (M, N, D)) * (
-        1.0 / N
-    ) ** 0.5
-    rows = {}
-    t_xla = _time(rollout_paths_xla, Ws, bs, x0, dWs=dWs_f, reps=20, **kw)
-    rows["xla_scan"] = t_xla
-    t_pal = _time(
-        rollout_paths_pallas, Ws, bs, x0, dWs=dWs_f, reps=20, **kw
-    )
-    rows["pallas_dw"] = t_pal
-    t_rng = _time(
-        rollout_paths_pallas, Ws, bs, x0, seed=jnp.asarray([3]), M=M,
-        reps=20, **kw,
-    )
-    rows["pallas_rng"] = t_rng
-    for tile_b in (128, 512):
-        rows[f"pallas_rng_tile{tile_b}"] = _time(
-            rollout_paths_pallas, Ws, bs, x0, seed=jnp.asarray([3]), M=M,
-            tile_b=tile_b, reps=20, **kw,
+    # 3. throughput. Two comparisons, both honest:
+    #    (a) explicit dW: scan vs kernel on identical pre-staged increments
+    #        (isolates the rollout program itself);
+    #    (b) end-to-end seeded serving (seed -> Y paths): the XLA baseline
+    #        must generate its own normals (jax.random inside the jit),
+    #        exactly what the kernel's in-kernel hardware PRNG replaces.
+    @functools.partial(jax.jit, static_argnames=("M",))
+    def xla_rng(Ws, bs, x0, key, M):
+        dWs = jax.random.normal(key, (M, N, D)) * (1.0 / N) ** 0.5
+        return rollout_paths_xla(Ws, bs, x0, dWs=dWs, **kw)
+
+    for M_t in (2048, 16384):
+        dWs_f = jax.random.normal(jax.random.PRNGKey(2), (M_t, N, D)) * (
+            1.0 / N
+        ) ** 0.5
+        rows = {}
+        t_xla = _time(rollout_paths_xla, Ws, bs, x0, dWs=dWs_f, reps=20,
+                      **kw)
+        rows["xla_scan"] = t_xla
+        rows["pallas_dw"] = _time(
+            rollout_paths_pallas, Ws, bs, x0, dWs=dWs_f, reps=20, **kw
         )
-    for name, sec in rows.items():
-        _emit(study="rollout_kernel_throughput", variant=name,
-              M=M, N=N, D=D, seconds_per_rollout=round(sec, 6),
-              path_steps_per_sec=round(M * N / sec),
-              speedup_vs_xla=round(t_xla / sec, 3))
+        rows["xla_scan_rng"] = _time(
+            xla_rng, Ws, bs, x0, jax.random.PRNGKey(3), M=M_t, reps=20
+        )
+        rows["pallas_rng"] = _time(
+            rollout_paths_pallas, Ws, bs, x0, seed=jnp.asarray([3]), M=M_t,
+            reps=20, **kw,
+        )
+        if M_t == 2048:
+            for tile_b in (128, 512):
+                rows[f"pallas_rng_tile{tile_b}"] = _time(
+                    rollout_paths_pallas, Ws, bs, x0, seed=jnp.asarray([3]),
+                    M=M_t, tile_b=tile_b, reps=20, **kw,
+                )
+        for name, sec in rows.items():
+            base = rows["xla_scan_rng"] if "rng" in name else t_xla
+            _emit(study="rollout_kernel_throughput", variant=name,
+                  M=M_t, N=N, D=D, seconds_per_rollout=round(sec, 6),
+                  path_steps_per_sec=round(M_t * N / sec),
+                  speedup_vs_xla=round(base / sec, 3))
 
 
 if __name__ == "__main__":

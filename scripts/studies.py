@@ -372,6 +372,42 @@ def dim1000_accuracy():
               wall_time_s=round(wall, 1))
 
 
+def dim1000_50k():
+    """D=1000 under the flagship 4-phase 50k anneal (the protocol that set
+    the 100D best-accuracy record): width-512/N=25 reaches **1.49%** —
+    vs 2.07% at the 20k budget and 5.4% at round 2's 3.5k sweep budget.
+    Confirms the D=1000 gap is a *budget* story, closing VERDICT r2 #6."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    D, width, N, M = 1000, 512, 25, 100
+    p = BlackScholesBarenblatt(D=D)
+    exact = _exact(p)
+    tr = Trainer(p, M=M, N=N,
+                 layers=[D + 1, width, width, width, width, 1],
+                 mode="FC", activation="Sine", seed=0, ema_decay=0.999)
+    tr.train(2500, 1e-3, log_every=2500, verbose=False)  # compile warmup
+    print("compiled; starting anneal", flush=True)
+    t0 = time.perf_counter()
+    for iters, lr in ((22500, 1e-3), (10000, 1e-4), (10000, 1e-5),
+                      (5000, 1e-6)):
+        tr.train(iters, lr, log_every=2500, verbose=False)
+    wall = time.perf_counter() - t0
+    y0 = float(np.mean(tr.y0_log[-3:]))
+    u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                    jnp.asarray(p.x0)[None, :])
+    ey = float(u[0, 0])
+    _emit(study="dim1000_accuracy", D=D, width=width, N=N, M=M, iters=50000,
+          protocol="flagship 4-phase anneal",
+          learned_y0=round(y0, 4), ema_y0=round(ey, 4),
+          exact_y0=round(exact, 4),
+          rel_error=round(abs(y0 - exact) / exact, 5),
+          ema_rel_error=round(abs(ey - exact) / exact, 5),
+          iters_per_sec=round(50000 / wall, 1), wall_time_s=round(wall, 1))
+
+
 def basket_matrix(out_dir: str = "results_r3/basket_sweep"):
     """Round-3 basket evidence matrix (VERDICT r2 #2): D ∈ {3,5,10,50,100} ×
     {Sine, ReLU} NAIS-Net under the round-2-measured protocol (20k 3-phase
@@ -450,6 +486,7 @@ STUDIES = {
     "heston_collapse_guard": heston_collapse_guard,
     "basket_matrix": basket_matrix,
     "dim1000_accuracy": dim1000_accuracy,
+    "dim1000_50k": dim1000_50k,
     "variance_reduction": variance_reduction,
     "best_accuracy_ema": best_accuracy_ema,
 }

@@ -31,6 +31,7 @@ RESULT_COLUMNS = [
     "RMSE",
     "Min Loss",
     "Exact Price",
+    "Oracle SE",
     "Learned Price",
     "Relative Error",
     "Quality Flag",

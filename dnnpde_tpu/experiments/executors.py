@@ -133,7 +133,10 @@ class TrainingExecutor:
                 trainer, num_samples=4, use_ema=c.ema_decay is not None
             ).generate_predictions()
 
-            exact_price, _ = basket_call_mc(
+            # keep the oracle's MC standard error next to the price so a
+            # reader can tell "off_oracle by 2.3%" from "oracle known to
+            # ±0.4%" (the D=10 row — results_r3/basket_d10_diag.log)
+            exact_price, exact_se = basket_call_mc(
                 jax.random.PRNGKey(c.seed), np.ones(D), problem.strike,
                 problem.T, problem.r, problem.sigma_bar, num_paths=200_000,
             )
@@ -162,7 +165,9 @@ class TrainingExecutor:
                 **{"Mean Error": stats["mean_error"],
                    "Std Error": stats["std_error"], "RMSE": stats["rmse"]},
                 "Min Loss": min(r1.min_loss, r2.min_loss),
-                "Exact Price": float(exact_price), "Learned Price": learned_price,
+                "Exact Price": float(exact_price),
+                "Oracle SE": float(exact_se),
+                "Learned Price": learned_price,
                 **quality,
                 "Mean Spectral Radius": float(np.mean(radii)),
                 "Total Run Time": time.time() - tic,

@@ -21,6 +21,8 @@ LOGS = [
     "results_r3/dim1000_m512.log",
     "results_r3/dim1000_50k.log",
     "results_r3/basket_matrix.log",
+    "results_r3/basket_d10_diag.log",
+    "results_r3/heston_n100_budget.log",
     "results_r3/harness.log",
 ]
 

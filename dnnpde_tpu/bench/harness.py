@@ -180,14 +180,17 @@ def bench_heston(iters=None, seed: int = 0) -> BenchRow:
     """Heston M=128 (reference ``heston_dnnpde.py:1226-1273``; oracle:
     corrected closed form).
 
-    Runs the payoff-anchored output parametrization (the HestonPDE default —
-    collapse-free by construction). Default protocol is the measured-best
-    round-3 one: 20k 3-phase anneal at N=50 AND N=100 with the first-order
-    Richardson combination 2·Y0(100) − Y0(50) as the headline (the trained
-    Y0 equals the discrete-N BSDE value to ~0.3% seed spread; the residual
-    vs the closed form is the backward recursion's O(dt) bias, which the
-    combination cancels — train/extrapolation.py). Pass ``iters`` for the
-    legacy two-phase reference budget at N=50."""
+    Runs the round-3 HestonPDE defaults: the CORRECTED Cholesky diffusion
+    (the reference's σ matrix is not a Heston factorization — bug #4, see
+    ``pde/heston.py``) and a PLAIN network output (the clamp/anchor
+    parametrizations carry measured kink biases of +5…+10%). Protocol:
+    20k 3-phase anneal at N=50 with the EMA-shadow read — measured
+    +0.1…+0.5% vs the closed form across seeds (BENCH_REPORT_r3.jsonl
+    "heston_output_modes"); the exact discrete-N value D(N) from
+    ``numerics.discrete_bsde_value`` confirms the N=50 scheme bias is only
+    +0.26%, so no Richardson pass is needed (the round-3-interim
+    two-resolution protocol survives in ``train.richardson_y0``). Pass
+    ``iters`` for the legacy two-phase reference budget."""
     p = HestonPDE()
     oracle = float(heston_call_price(
         p.S0, p.v0,
@@ -197,36 +200,10 @@ def bench_heston(iters=None, seed: int = 0) -> BenchRow:
     if iters is not None:
         return _run("heston_m128", p, oracle, M=128, N=50, iters=iters,
                     lrs=(1e-3, 1e-5), seed=seed)
-    from dnnpde_tpu.train.extrapolation import richardson_y0
-
-    phases = ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5))
-    M = 128
-    trainers = tuple(
-        Trainer(p, M=M, N=n, mode="FC", activation="Sine") for n in (50, 100)
-    )
-    for tr in trainers:  # compile both chunk programs outside the timer
-        tr.train(250, 1e-3, log_every=250, verbose=False)
-        tr.train(500, 1e-3, log_every=500, verbose=False)
-    t0 = time.perf_counter()
-    out = richardson_y0(p, M=M, N=50, phases=phases, seed=seed,
-                        trainers=trainers)
-    wall = time.perf_counter() - t0
-    total_iters = 2 * (250 + sum(n for n, _ in phases))  # both resolutions
-    learned = out["y0_richardson"]
-    rel = abs(learned - oracle) / max(abs(oracle), 1e-12)
-    return BenchRow(
-        name="heston_m128",
-        iters_per_sec=total_iters / wall,
-        # N=50 + N=100 phases: 150·M path-steps per iteration pair
-        paths_steps_per_sec=(250 + 20000) * M * 150 / wall,
-        learned_y0=float(learned),
-        oracle_y0=float(oracle),
-        rel_error=float(rel),
-        wall_time_s=wall,
-        config=dict(M=M, N=[50, 100], D=p.dim, mode="FC", activation="Sine",
-                    phases=[list(ph) for ph in phases],
-                    richardson=True, y0_n50=out["y0_N"],
-                    y0_n100=out["y0_2N"]),
+    return _run(
+        "heston_m128", p, oracle, M=128, N=50,
+        phases=((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)),
+        seed=seed, ema_decay=0.999,
     )
 
 

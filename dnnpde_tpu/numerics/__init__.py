@@ -13,6 +13,11 @@ from dnnpde_tpu.numerics.crank_nicolson import (
     cn_delta_gamma,
     crank_nicolson_heston,
 )
+from dnnpde_tpu.numerics.discrete_bsde import (
+    DiscreteBSDEValue,
+    discrete_bsde_value,
+    probe_linear_driver,
+)
 from dnnpde_tpu.numerics.fft_pricer import (
     basket_lognormal_cf_params,
     carr_madan_call,
@@ -63,6 +68,9 @@ __all__ = [
     "heston_gamma_surface",
     "heston_mc_price",
     "heston_mc_price_ii",
+    "DiscreteBSDEValue",
+    "discrete_bsde_value",
+    "probe_linear_driver",
     "basket_call_mc",
     "basket_delta_mc",
     "basket_price_paths_mc",

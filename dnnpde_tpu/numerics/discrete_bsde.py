@@ -1,0 +1,190 @@
+"""Exact discrete-N BSDE value for linear drivers, by forward Monte Carlo.
+
+For a driver that is linear in Y with no Z-coupling, φ(t, X, Y, Z) = r·Y,
+and dynamics μ/σ independent of (Y, Z), the explicit Euler BSDE recursion the
+solver trains against (``solver/bsde.py::em_step``)
+
+    Ỹ_{n+1} = Y_n·(1 + r·Δt) + Z_nᵀ σ ΔW_n
+
+has a closed-form value at t=0: taking conditional expectations telescopes
+the martingale term away, so
+
+    D(N) = E[g(X_N)] / (1 + r·Δt)^N
+
+where X_N follows the SAME N-step Euler–Maruyama chain (same μ, σ, clamps,
+dtype) the training rollout simulates. D(N) is therefore the exact value a
+perfectly-trained network's Y0 should hit at time-resolution N — computable
+to Monte-Carlo precision with NO training in the loop.
+
+Why this matters (round-3 Heston finding): the payoff-anchored Heston runs
+are stable enough to converge, and what they converge to is NOT the
+continuous PDE value but the discrete-N value — the scheme's own O(Δt) weak
+bias (the reference's scheme, ``1d_BSPDE_case.py:246-289``, carries the same
+bias). D(N) separates the two error sources cleanly:
+
+    |Y0_trained − D(N)|        optimization/approximation error (the net)
+    |D(N) − u_exact|           time-discretization bias (the scheme)
+
+and the discretization bias can then be removed by Richardson extrapolation
+over (N, 2N) with *measured* justification (Talay–Tubaro expansion).
+
+Applicability is verified at runtime by numeric probing (``probe_linear
+_driver``): Heston (φ=0.05Y), the 1D/basket calls (φ=0.01Y / 0.05Y) qualify;
+BSB (φ=r(Y−X·Z)) and HJB (φ=‖Z‖²) are rejected with a clear error.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+class DiscreteBSDEValue(NamedTuple):
+    """MC estimate of the exact discrete-N BSDE value."""
+
+    value: float
+    standard_error: float
+    n_paths: int
+    N: int
+    rate: float
+
+
+def probe_linear_driver(problem, atol: float = 1e-5) -> float:
+    """Return the driver rate r of φ = r·Y, or raise if the problem does not
+    have a linear Z-free driver with (Y, Z)-independent dynamics.
+
+    Purely numeric — no problem-class cooperation needed: φ/μ/σ are evaluated
+    at probe states X = x0·(1 ± 10%) with varying (Y, Z) and checked for
+    φ(Y=0)=0, φ(Y)=r·Y (same r at Y=1 and Y=2, uniform across X), φ
+    independent of Z, and μ/σ independent of (Y, Z).
+    """
+    D = problem.dim
+    x0 = np.asarray(problem.x0, np.float64).reshape(1, D)
+    X = jnp.asarray(
+        np.concatenate([x0, x0 * 1.1, np.maximum(x0 * 0.9, 1e-3)], axis=0),
+        jnp.float32,
+    )
+    t = jnp.full((3, 1), 0.3, jnp.float32)
+    Y0, Y1, Y2 = (jnp.full((3, 1), v, jnp.float32) for v in (0.0, 1.0, 2.0))
+    Z0 = jnp.zeros((3, D), jnp.float32)
+    Z1 = jnp.ones((3, D), jnp.float32) * 0.7
+
+    def arr(a):
+        return np.asarray(a, np.float64)
+
+    name = getattr(problem, "name", type(problem).__name__)
+    phi0 = arr(problem.phi(t, X, Y0, Z0))
+    if not np.allclose(phi0, 0.0, atol=atol):
+        raise ValueError(
+            f"{name}: driver has a constant term (φ(Y=0) = {phi0.ravel()}) — "
+            "discrete_bsde_value requires φ = r·Y"
+        )
+    phi1 = arr(problem.phi(t, X, Y1, Z0))
+    phi2 = arr(problem.phi(t, X, Y2, Z0))
+    if not np.allclose(phi2, 2.0 * phi1, atol=atol):
+        raise ValueError(
+            f"{name}: driver is not linear in Y (φ(2)={phi2.ravel()} vs "
+            f"2·φ(1)={2 * phi1.ravel()})"
+        )
+    rate = float(phi1.mean())
+    if not np.allclose(phi1, rate, atol=atol):
+        raise ValueError(
+            f"{name}: driver rate varies with the state ({phi1.ravel()}) — "
+            "φ must be r·Y with constant r"
+        )
+    if not np.allclose(arr(problem.phi(t, X, Y1, Z1)), phi1, atol=atol):
+        raise ValueError(
+            f"{name}: driver depends on Z — the martingale term no longer "
+            "telescopes; discrete_bsde_value does not apply"
+        )
+    for fn, label in ((problem.mu, "mu"),):
+        if not np.allclose(
+            arr(fn(t, X, Y2, Z1)), arr(fn(t, X, Y0, Z0)), atol=atol
+        ):
+            raise ValueError(f"{name}: {label} depends on (Y, Z)")
+    if not np.allclose(
+        arr(problem.sigma(t, X, Y2)), arr(problem.sigma(t, X, Y0)), atol=atol
+    ):
+        raise ValueError(f"{name}: sigma depends on Y")
+    return rate
+
+
+def discrete_bsde_value(
+    problem,
+    N: int,
+    n_paths: int = 1_000_000,
+    seed: int = 0,
+    batch: int = 262_144,
+    chol: Optional[Array] = None,
+    dtype=jnp.float32,
+    antithetic: bool = True,
+) -> DiscreteBSDEValue:
+    """MC-estimate D(N) = E[g(X_N)]/(1+r·Δt)^N under the solver's exact
+    Euler chain (same μ/σ/``sigma_dw``/dtype as ``solver/bsde.py::em_step``).
+
+    ``chol`` must match the Trainer's correlation Cholesky factor (None for
+    the identity — the Heston default bakes ρ into σ instead). ``antithetic``
+    pairs (dW, −dW) for variance reduction; the path LAW is unchanged.
+    Increments are drawn per step inside the scan, so memory is O(batch·D)
+    regardless of N.
+    """
+    rate = probe_linear_driver(problem)
+    D, Dw, T = problem.dim, problem.noise_dim, problem.T
+    dt = T / N
+    sqrt_dt = np.sqrt(dt)
+    batch = min(batch, n_paths)
+    if antithetic and batch % 2:
+        batch += 1
+    n_batches = max(1, int(np.ceil(n_paths / batch)))
+    chol_T = None if chol is None else jnp.asarray(chol, dtype).T
+
+    x0 = jnp.asarray(problem.x0, dtype)
+    Yz = jnp.zeros((batch, 1), dtype)
+    Zz = jnp.zeros((batch, D), dtype)
+
+    @jax.jit
+    def one_batch(key):
+        def step(X0, n):
+            kn = jax.random.fold_in(key, n)
+            if antithetic:
+                half = jax.random.normal(kn, (batch // 2, Dw), dtype)
+                dw = sqrt_dt * jnp.concatenate([half, -half], axis=0)
+            else:
+                dw = sqrt_dt * jax.random.normal(kn, (batch, Dw), dtype)
+            if chol_T is not None:
+                dw = dw @ chol_T
+            t0 = jnp.full((batch, 1), n * dt, dtype)
+            sig = problem.sigma(t0, X0, Yz)
+            X1 = (
+                X0
+                + problem.mu(t0, X0, Yz, Zz) * dt
+                + problem.sigma_dw(sig, dw)
+            )
+            return X1, None
+        X0 = jnp.broadcast_to(x0, (batch, D))
+        XN, _ = jax.lax.scan(step, X0, jnp.arange(N))
+        pay = problem.g(XN)[:, 0]
+        return jnp.sum(pay), jnp.sum(pay * pay)
+
+    total, total_sq = 0.0, 0.0
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_batches)
+    for k in keys:
+        s, s2 = one_batch(k)
+        total += float(s)
+        total_sq += float(s2)
+    n = n_batches * batch
+    mean = total / n
+    var = max(total_sq / n - mean * mean, 0.0)
+    disc = float((1.0 + rate * dt) ** (-N))
+    return DiscreteBSDEValue(
+        value=disc * mean,
+        standard_error=disc * float(np.sqrt(var / n)),
+        n_paths=n,
+        N=N,
+        rate=rate,
+    )

@@ -4,8 +4,11 @@
 (reference ``heston_dnnpde.py:519-659``):
 
   mu    = [r·S, κ(θ − v)]                       (clamped to ±100, :587-591)
-  sigma = [[√v·S,   ρ·σ_v·√v],
-           [ρ·√v·S, σ_v·√v  ]]                  (clamped to ±100, :593-605)
+  sigma = Cholesky factor of the Heston covariance (default; the
+          reference's matrix ``[[√v·S, ρσ_v√v], [ρ√v·S, σ_v√v]]``
+          (:593-605) is NOT a factor of that covariance — reference
+          bug #4, kept available as ``diffusion="reference"``; see the
+          ``diffusion`` field)
   phi   = r·Y                                    (:607-609)
   g     = max(S − K, 0)  or  sigmoid-smoothed    (:546-558, alpha = 10)
 
@@ -13,8 +16,11 @@ Fits the generic solver contract: the network takes (t, S, v) (state dim 2 →
 input width 3 naturally — the reference patches torch layer objects instead,
 ``heston_dnnpde.py:532-541``), Z = ∇ₓu = (∂u/∂S, ∂u/∂v), and the terminal
 gradient penalty applies only to Z_S via ``z_penalty_mask``
-(``heston_dnnpde.py:654``). The network output is clamped to u ≥ 0
-(``heston_dnnpde.py:568``) via ``clamp_u``.
+(``heston_dnnpde.py:654``). The reference clamps the network output to u ≥ 0
+(``heston_dnnpde.py:568``); here the default is a PLAIN output — the clamp's
+kink was measured to bias the trained price +5…+6% high and its u≡0 state
+absorbs ~1/3 of long anneals (see ``clamp_output``). Reference semantics
+remain available via ``clamp_output=True, clamp_smoothing="hard"``.
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dnnpde_tpu.pde.base import Array, PDEProblem
 
@@ -44,38 +51,37 @@ class HestonPDE(PDEProblem):
     payoff_type: str = "discontinuous"  # or "continuous" (sigmoid-smoothed)
     smoothing_alpha: float = 10.0
     clamp_bound: float = 100.0
-    # Reference semantics clamp the network output to u ≥ 0 during training
-    # (heston_dnnpde.py:568). The clamp has an ABSORBING state: if training
-    # drives u all-negative, max(u, 0) zeroes u, Z, φ=rY AND every gradient
-    # (measured: ~1/3 of 20k-iteration anneals collapse to u≡0 — the same
-    # mode as the reference's degenerate M=2 run). clamp_output=False removes
-    # the training-time clamp — measured: 0/5 collapses across seeds and
-    # M ∈ {128,256,512} (vs ~1/3 clamped), at the cost of a 2.4–5.3% low
-    # bias at the 20k-iteration budget (clamped non-collapsed runs reach
-    # 0.75–1.9%); see BENCH_REPORT_r2.jsonl "heston_clamp_tradeoff".
-    clamp_output: bool = True
-    # How u ≥ 0 is enforced (requires clamp_output; all three non-anchor
-    # variants measured in BENCH_REPORT_r2.jsonl):
-    # - "hard": reference max(u, 0) — best accuracy when it survives
-    #   (0.75–1.9% at the 20k anneal) but u≡0 is an ABSORBING state
-    #   (~1/3 of (M, seed) runs collapse).
-    # - "softplus": smooth positivity, no absorbing state, but 2/3 of seeds
-    #   trap in a ~34%-high basin ("heston_softplus_clamp" rows).
-    # - "anchor" (DEFAULT, round 3): payoff-anchored parametrization
-    #       u = floor(t,S) + √((T−t)/T) · softplus(raw + anchor_shift)
-    #   with floor = max(S − K·e^{−r(T−t)}, 0), the European-call lower
-    #   bound. Collapse is structurally impossible (u ≥ floor > 0 at the
-    #   money), the √τ factor makes the terminal condition EXACT by
-    #   construction (u(T,·) = floor(T,·) = g, ∂u/∂S|_T = Dg a.e. — both
-    #   terminal penalties vanish identically), and the head learns only
-    #   the time value, which scales as √τ for at-the-money options — so
-    #   the required head magnitude is O(1) uniformly in t. Measured
-    #   (BENCH_REPORT_r3.jsonl "heston_anchor", "heston_diag"): 0 collapses
-    #   over every (M, seed, N) tried, with seed spread ~0.3% — tight
-    #   enough to EXPOSE the Euler BSDE recursion's own O(dt) bias
-    #   (+7.9%/+4.3%/+2.1% vs the closed form at N=25/50/100; the same
-    #   recursion the reference uses). First-order Richardson over
-    #   (N, 2N) cancels it to ~0.1–0.5% (train/extrapolation.py).
+    # Output parametrization — DEFAULT: plain net output (no clamp, no
+    # anchor). The round-3 measured story (BENCH_REPORT_r3.jsonl
+    # "heston_output_modes", all under the corrected Cholesky diffusion,
+    # 20k anneal, M=128, 3 seeds each):
+    #
+    # - plain (clamp_output=False): +0.49%/+0.10%/+0.12% vs the Heston
+    #   closed form, 0 collapses (0/8 across rounds 2–3). Gradients never
+    #   vanish, so there is no absorbing state to collapse into. WINNER.
+    # - "hard" max(u, 0) (reference semantics, heston_dnnpde.py:568):
+    #   +5.3…+6.3% biased HIGH, and u ≡ 0 is an ABSORBING state (zero
+    #   gradient below the clamp) — ~1/3 of round-2/3 long anneals died
+    #   in it. The bias mechanism: the clamp embeds a kink along the
+    #   u = 0 level set at every t, but the true solution is smooth for
+    #   t < T; the spurious Γ-singularity feeds the BSDE residuals and
+    #   the optimizer deforms u upward to suppress it.
+    # - "softplus": still collapsible at β=50 (softplus(βu)/β has ~zero
+    #   gradient for u ≲ −0.1 — seed 0 died) and +5.6% high otherwise.
+    # - "anchor" (the round-3 interim fix): u = max(S − K·e^{−rτ}, 0) +
+    #   √(τ/T)·softplus(raw + shift). Collapse structurally impossible and
+    #   the terminal condition exact by construction — but the floor bakes
+    #   its kink (at S = K·e^{−rτ}) into u at ALL t < T where the true
+    #   solution is smooth, and the measured cost is a +7.8…+10.5%
+    #   parametrization bias (isolated: it persists at σ_v → 0 and ρ = 0,
+    #   so it is the parametrization, not the dynamics). Round 3's earlier
+    #   "+4.3% at N=50" reading was this bias partially cancelled by the
+    #   reference-diffusion model pricing −3.6% below the Heston closed
+    #   form (see ``diffusion``).
+    clamp_output: bool = False
+    # How u ≥ 0 is enforced when clamp_output=True — see the measured
+    # tradeoffs above. "anchor" remains the safest clamped mode (collapse
+    # impossible); "hard" is reference parity.
     clamp_smoothing: str = "anchor"  # "hard" | "softplus" | "anchor"
     smooth_beta: float = 50.0
     # Anchor-head init prior: softplus(anchor_shift) is the head's output
@@ -87,6 +93,29 @@ class HestonPDE(PDEProblem):
     # as √τ) — "none" leaves the head unscaled (terminal condition learned
     # through the penalties, as in the reference).
     anchor_time_scale: str = "sqrt"  # "sqrt" | "none"
+    # Which 2×2 diffusion matrix drives (S, v) — REFERENCE BUG #4
+    # (discovered round 3 via the discrete-BSDE forward oracle,
+    # numerics/discrete_bsde.py):
+    #
+    # - "cholesky" (DEFAULT): the lower-triangular Cholesky factor of the
+    #   Heston covariance,
+    #       L = [[√v·S, 0], [ρ·σ_v·√v, σ_v·√v·√(1−ρ²)]],
+    #   so L·Lᵀ = [[v·S², ρ·σ_v·v·S], [ρ·σ_v·v·S, σ_v²·v]] — the actual
+    #   Heston model the closed-form oracle prices. Measured: the exact
+    #   discrete value D(N) = E[g(X_N)]/(1+rΔt)^N lands within MC noise of
+    #   the closed form already at N=25 (+0.5% → +0.1% by N=200).
+    # - "reference": the matrix the reference builds
+    #   (``heston_dnnpde.py:593-605``),
+    #       σ = [[√v·S, ρ·σ_v·√v], [ρ·√v·S, σ_v·√v]],
+    #   which is NOT a factor of the Heston covariance: σσᵀ has
+    #   Var(dv) = (ρ²·v·S² + σ_v²·v)dt ≈ 8× the Heston σ_v²·v·dt at the
+    #   defaults, and corr(dS, dv) ≈ 0.99 instead of ρ = 0.8 — a nearly
+    #   singular diffusion. The model the reference actually simulates is
+    #   therefore not Heston; its continuum price, measured by tight
+    #   forward MC (BENCH_REPORT_r3.jsonl "heston_discrete_value"), is
+    #   0.1910–0.1912 = −3.6…−3.7% BELOW the Heston closed form the
+    #   reference compares against (which it also mis-discounts — bug #1).
+    diffusion: str = "cholesky"  # "cholesky" | "reference"
     name: str = "Heston"
 
     @property
@@ -149,8 +178,24 @@ class HestonPDE(PDEProblem):
         sqrt_v = jnp.sqrt(jnp.clip(v, 1e-8, None))
         sig_s = sqrt_v * S
         sig_v = self.sigma_v * sqrt_v
-        row0 = jnp.stack([sig_s, self.rho * sig_v], axis=-1)
-        row1 = jnp.stack([self.rho * sig_s, sig_v], axis=-1)
+        if self.diffusion == "cholesky":
+            # True Heston: L·Lᵀ = [[vS², ρσ_v vS], [ρσ_v vS, σ_v² v]].
+            row0 = jnp.stack([sig_s, jnp.zeros_like(sig_s)], axis=-1)
+            row1 = jnp.stack(
+                [self.rho * sig_v,
+                 float(np.sqrt(1.0 - self.rho**2)) * sig_v],
+                axis=-1,
+            )
+        elif self.diffusion == "reference":
+            # Reference matrix (heston_dnnpde.py:593-605) — not a Heston
+            # factorization; see the ``diffusion`` field docstring.
+            row0 = jnp.stack([sig_s, self.rho * sig_v], axis=-1)
+            row1 = jnp.stack([self.rho * sig_s, sig_v], axis=-1)
+        else:
+            raise ValueError(
+                f"diffusion must be 'cholesky' or 'reference', "
+                f"got {self.diffusion!r}"
+            )
         out = jnp.stack([row0, row1], axis=-2)  # (M, 2, 2)
         return jnp.clip(out, -self.clamp_bound, self.clamp_bound)
 

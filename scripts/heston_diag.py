@@ -48,11 +48,11 @@ def run(tag, p, N=50, seeds=(0, 1), phases=((10000, 1e-3), (5000, 1e-4), (5000, 
 def main():
     # 1. N dependence of the sqrt-anchor bias (discretization hypothesis)
     for N in (25, 50, 100):
-        run(f"anchor_sqrt_N{N}", HestonPDE(), N=N, seeds=(0,))
+        run(f"anchor_sqrt_N{N}", HestonPDE(clamp_output=True), N=N, seeds=(0,))
     # 2. unscaled head (terminal condition via penalties)
-    run("anchor_flat", HestonPDE(anchor_time_scale="none"), seeds=(0, 1))
+    run("anchor_flat", HestonPDE(clamp_output=True, anchor_time_scale="none"), seeds=(0, 1))
     # 3. longer fine anneal on the default
-    run("anchor_sqrt_longfine", HestonPDE(), seeds=(0,),
+    run("anchor_sqrt_longfine", HestonPDE(clamp_output=True), seeds=(0,),
         phases=((10000, 1e-3), (5000, 1e-4), (10000, 1e-5), (5000, 1e-6)))
 
 

@@ -211,7 +211,7 @@ def heston_best_accuracy():
 
     # pinned to the reference's hard-clamp semantics (the round-2 baseline
     # this study measured); the r3 default is the anchor parametrization
-    p = HestonPDE(clamp_smoothing="hard")
+    p = HestonPDE(clamp_output=True, clamp_smoothing="hard", diffusion="reference")
     oracle = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
@@ -250,7 +250,9 @@ def heston_anchor_matrix():
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer, richardson_y0
 
-    p = HestonPDE()  # anchor is the default
+    # Historical round-3-interim protocol: anchored output + reference
+    # diffusion (the defaults at the time this matrix was recorded).
+    p = HestonPDE(clamp_output=True, diffusion="reference")
     assert p.clamp_mode == "anchor"
     oracle = float(heston_call_price(
         p.S0, p.v0,
@@ -299,14 +301,20 @@ def heston_n100_budget():
     under-converges the harder N=100 rollouts and per-seed Richardson
     (median 1.56%) inherits that. Double the anneal at N=100 (40k) over
     3 seeds, M=128: if the median rel drops toward the O(dt)-predicted
-    ~1.1%, budget — not scheme — explains the residual."""
+    ~1.1%, budget — not scheme — explains the residual.
+
+    OUTCOME (recorded r3): the 40k runs moved AWAY from the closed form
+    (+2.7…+3.4% vs +1.3% at 20k) — the trigger for the discrete-BSDE
+    oracle, which then exposed reference bug #4 (the σ matrix) and the
+    anchor's own kink bias. Pinned to the anchored/reference config it was
+    recorded under."""
     import jax.numpy as jnp
 
     from dnnpde_tpu.numerics import HestonParams, heston_call_price
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=True, diffusion="reference")
     oracle = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
@@ -335,6 +343,183 @@ def heston_n100_budget():
           reference_20k_median=0.0137)
 
 
+def heston_discrete_value():
+    """The exact discrete-N BSDE value D(N) = E[g(X_N^Euler)]/(1+rΔt)^N by
+    tight forward MC (numerics/discrete_bsde.py) — NO training in the loop.
+    This is the value a perfectly-fitted network of unlimited capacity
+    would hit IF the FBSNN least-squares optimum coincided with the
+    conditional-expectation recursion. Measures the scheme's own
+    time-discretization bias curve and its Richardson-extrapolability."""
+    from dnnpde_tpu.numerics import (
+        HestonParams, discrete_bsde_value, heston_call_price,
+    )
+    from dnnpde_tpu.pde import HestonPDE
+
+    p = HestonPDE()
+    cf = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    for diffusion in ("cholesky", "reference"):
+        pd = HestonPDE(diffusion=diffusion)
+        vals = {}
+        for N in (25, 50, 100, 200, 400):
+            t0 = time.perf_counter()
+            out = discrete_bsde_value(pd, N=N, n_paths=33_554_432, seed=7,
+                                      batch=1_048_576)
+            vals[N] = out.value
+            _emit(study="heston_discrete_value", diffusion=diffusion, N=N,
+                  value=round(out.value, 6),
+                  standard_error=round(out.standard_error, 6),
+                  n_paths=out.n_paths, oracle_cf=round(cf, 6),
+                  signed_rel=round((out.value - cf) / cf, 5),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+        for N in (25, 50, 100, 200):
+            rich = 2.0 * vals[2 * N] - vals[N]
+            _emit(study="heston_discrete_value_richardson",
+                  diffusion=diffusion, N_pair=[N, 2 * N],
+                  richardson=round(rich, 6),
+                  signed_rel=round((rich - cf) / cf, 5))
+
+
+def heston_converged(budget: int = 80000, Ns=(25, 50, 100), seeds=(0, 1, 2),
+                     M: int = 256):
+    """Converged trained Y0(N) vs BOTH oracles: the closed form AND the
+    exact discrete value D(N). Motivated by two round-3 measurements that
+    broke the 'trained = discrete-exact' story: (a) doubling the N=100
+    budget 20k→40k moved Y0 AWAY from the closed form (+2.1%→+3.3%,
+    heston_n100_budget), i.e. 20k was under-converged; (b) D(N) from
+    forward MC sits BELOW the closed form (−2.4% at N=32) while trained
+    values sit ABOVE — the FBSNN least-squares minimizer is a third value,
+    distinct from both the continuum solution and the discrete-BSDE
+    recursion. This study maps its converged N-dependence."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import (
+        HestonParams, discrete_bsde_value, heston_call_price,
+    )
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE()
+    cf = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    half, quarter = budget // 2, budget // 4
+    for N in Ns:
+        dN = discrete_bsde_value(p, N=N, n_paths=8_388_608, seed=7,
+                                 batch=1_048_576)
+        tr = Trainer(p, M=M, N=N, mode="FC", activation="Sine", seed=0,
+                     ema_decay=0.999)
+        for seed in seeds:
+            tr.reset(seed)
+            t0 = time.perf_counter()
+            for iters, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+                tr.train(iters, lr, log_every=2000, verbose=False)
+            u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                            jnp.asarray(p.x0)[None, :])
+            ey = float(u[0, 0])
+            _emit(study="heston_converged", N=N, M=M, seed=seed,
+                  iters=budget, ema_y0=round(ey, 6),
+                  discrete_exact=round(dN.value, 6),
+                  discrete_se=round(dN.standard_error, 6),
+                  oracle_cf=round(cf, 6),
+                  rel_vs_cf=round((ey - cf) / cf, 5),
+                  rel_vs_discrete=round((ey - dN.value) / dN.value, 5),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def heston_output_modes():
+    """The round-3 output-parametrization shoot-out that set the new
+    HestonPDE default (all under the corrected Cholesky diffusion, 20k
+    anneal, M=128, N=50, EMA read, 3 seeds each):
+
+      plain output:  +0.49%/+0.10%/+0.12%, 0 collapses  → DEFAULT
+      hard clamp:    +5.3…+6.3% (kink bias), absorbing state exists
+      softplus:      collapsed on seed 0; +5.6% otherwise
+      anchor:        +8.7…+10.5% (floor-kink bias, isolated vs σ_v and ρ)
+    """
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p0 = HestonPDE()
+    cf = float(heston_call_price(
+        p0.S0, p0.v0,
+        HestonParams(K=p0.strike, r=p0.r, T=p0.T, kappa=p0.kappa,
+                     theta=p0.theta, sigma=p0.sigma_v, rho=p0.rho,
+                     v0=p0.v0)))
+    modes = {
+        "plain": HestonPDE(),
+        "hard": HestonPDE(clamp_output=True, clamp_smoothing="hard"),
+        "softplus": HestonPDE(clamp_output=True, clamp_smoothing="softplus"),
+        "anchor": HestonPDE(clamp_output=True),
+    }
+    for tag, p in modes.items():
+        tr = Trainer(p, M=128, N=50, mode="FC", activation="Sine", seed=0,
+                     ema_decay=0.999)
+        for seed in (0, 1, 2):
+            tr.reset(seed)
+            t0 = time.perf_counter()
+            for it, lr in ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)):
+                tr.train(it, lr, log_every=2000, verbose=False)
+            u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                            jnp.asarray(p.x0)[None, :])
+            ey = float(u[0, 0])
+            _emit(study="heston_output_modes", mode=tag, seed=seed,
+                  M=128, N=50, iters=20000, ema_y0=round(ey, 6),
+                  oracle_cf=round(cf, 6),
+                  signed_rel=round((ey - cf) / cf, 5),
+                  collapsed=bool(abs(ey) < 1e-3),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def heston_default_matrix():
+    """Acceptance matrix for the round-3 FINAL Heston defaults (plain
+    output + Cholesky diffusion): M ∈ {128, 256, 512} × seeds {0, 1, 2} at
+    the 20k anneal, EMA read. Target (VERDICT r2 #1, re-based on the
+    corrected model): 0 collapses AND median |rel| ≤ 2% vs the closed
+    form."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE()
+    cf = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    rels, collapses = [], 0
+    for M in (128, 256, 512):
+        tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine", seed=0,
+                     ema_decay=0.999)
+        for seed in (0, 1, 2):
+            tr.reset(seed)
+            t0 = time.perf_counter()
+            for it, lr in ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)):
+                tr.train(it, lr, log_every=2000, verbose=False)
+            u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                            jnp.asarray(p.x0)[None, :])
+            ey = float(u[0, 0])
+            collapsed = bool(abs(ey) < 1e-3)
+            collapses += collapsed
+            rels.append(abs(ey - cf) / cf)
+            _emit(study="heston_default_matrix", M=M, seed=seed, N=50,
+                  iters=20000, ema_y0=round(ey, 6), oracle_cf=round(cf, 6),
+                  signed_rel=round((ey - cf) / cf, 5), collapsed=collapsed,
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+    _emit(study="heston_default_matrix_summary", runs=len(rels),
+          collapses=collapses,
+          median_rel=round(float(np.median(rels)), 5),
+          max_rel=round(float(np.max(rels)), 5),
+          target="0 collapses and median <= 0.02")
+
+
 def heston_collapse_guard(seed: int = 0):
     """Trainer-level collapse auto-restart (VERDICT r2 #7) on a
     known-collapsing configuration: hard clamp, M=128, 20k anneal.
@@ -347,7 +532,8 @@ def heston_collapse_guard(seed: int = 0):
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE(clamp_smoothing="hard")  # reference max(u, 0) semantics
+    p = HestonPDE(clamp_output=True, clamp_smoothing="hard",
+                  diffusion="reference")  # reference semantics
     oracle = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
@@ -592,6 +778,10 @@ STUDIES = {
     "heston_anchor_matrix": heston_anchor_matrix,
     "heston_collapse_guard": heston_collapse_guard,
     "heston_n100_budget": heston_n100_budget,
+    "heston_discrete_value": heston_discrete_value,
+    "heston_converged": heston_converged,
+    "heston_output_modes": heston_output_modes,
+    "heston_default_matrix": heston_default_matrix,
     "basket_matrix": basket_matrix,
     "basket_d10_diag": basket_d10_diag,
     "dim1000_accuracy": dim1000_accuracy,

@@ -63,12 +63,13 @@ def test_hjb_10d_converges_to_mc_oracle():
 
 
 def test_heston_y0_approaches_closed_form():
-    """Anchor-parametrized Heston (the r3 default): the payoff-anchored
-    head INITIALIZES near the oracle (|Y0−exact| ≈ 0.03 at init by the
-    anchor_shift design), so the old got-closer gate is meaningless —
-    gate the absolute tail error and the structural no-collapse floor
-    instead (measured 0.002–0.034 across seeds at this CPU budget)."""
+    """Default Heston (round 3: plain output + corrected Cholesky diffusion)
+    must head toward the closed form. On TPU at the 20k anneal this reaches
+    +0.1…+0.5% (BENCH_REPORT_r3.jsonl heston_output_modes); this CPU-budget
+    smoke gates a looser absolute error and that training moved toward the
+    oracle from the near-zero init."""
     p = HestonPDE()
+    assert p.diffusion == "cholesky" and p.clamp_u is None
     tr = Trainer(p, M=64, N=10, layers=[3, 32, 32, 32, 32, 1], seed=0)
     tr.train(1500, 1e-3, log_every=500, verbose=False)
     tr.train(500, 1e-4, log_every=250, verbose=False)
@@ -81,9 +82,8 @@ def test_heston_y0_approaches_closed_form():
     )
     err_last = abs(np.mean(tr.y0_log[-2:]) - exact)
     assert err_last < 0.05, f"|Y0−exact| = {err_last:.4f} (exact {exact:.4f})"
-    # collapse structurally impossible: Y0 ≥ the call lower bound always
-    floor0 = p.S0 - p.strike * np.exp(-p.r * p.T)
-    assert min(tr.y0_log) > floor0 - 1e-6, min(tr.y0_log)
+    # training moved toward the oracle from the near-zero plain-output init
+    assert err_last < abs(tr.y0_log[0] - exact)
 
 
 def test_naisnet_bsb_converges():

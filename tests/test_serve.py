@@ -124,7 +124,7 @@ def test_heston_export_parity_with_greeks(tmp_path):
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=True)  # anchored output transform
     trainer = Trainer(p, M=8, N=4, layers=[3, 16, 16, 1], mode="FC",
                       activation="Sine", seed=0)
     trainer.train(4, 1e-3, log_every=2, verbose=False)
@@ -158,7 +158,7 @@ def test_softplus_clamp_export_parity():
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE(clamp_smoothing="softplus", smooth_beta=50.0)
+    p = HestonPDE(clamp_output=True, clamp_smoothing="softplus", smooth_beta=50.0)
     trainer = Trainer(p, M=4, N=2, layers=[3, 12, 1], mode="FC",
                       activation="Sine", seed=1)
     from dnnpde_tpu.serve.export import ServedSolution, export_trainer

@@ -56,8 +56,10 @@ def _reference_loop_loss(problem, net, params, t, W, X0):
 @pytest.mark.parametrize("problem", [
     BlackScholesBarenblatt(D=5),
     CallOption1D(D=1),
-    HestonPDE(),  # default payoff-anchored output parametrization
-    HestonPDE(clamp_smoothing="hard"),  # reference max(u, 0) semantics
+    HestonPDE(),  # default: plain output, Cholesky diffusion
+    HestonPDE(diffusion="reference"),  # reference sigma matrix (bug #4 parity)
+    HestonPDE(clamp_output=True),  # payoff-anchored output parametrization
+    HestonPDE(clamp_output=True, clamp_smoothing="hard"),  # reference max(u, 0)
 ])
 def test_scan_matches_reference_loop(problem, rng_key):
     net, params = _setup(problem)
@@ -134,9 +136,9 @@ def test_heston_clamp_output_opt_out(rng_key):
     and gradients do NOT vanish in the region where the clamped problem's
     u≡0 absorbing state lives (the measured ~1/3 collapse mode of long
     anneals — see heston.py docstring)."""
-    p_off = HestonPDE(clamp_output=False)
+    p_off = HestonPDE()  # plain output is the default since round 3
     assert p_off.clamp_u is None
-    assert HestonPDE().clamp_u == 0.0
+    assert HestonPDE(clamp_output=True).clamp_u == 0.0
     net, params = _setup(p_off)
     net_u = make_net_u(net, p_off.clamp_u)
     leaves, treedef = jax.tree_util.tree_flatten(params)
@@ -256,8 +258,9 @@ def test_smoothed_payoff_gradient_stable_at_extremes():
 def test_softplus_clamp_no_absorbing_state(rng_key):
     """clamp_smoothing="softplus" keeps u >= 0 with a NONZERO gradient where
     the hard clamp's gradient is identically zero (the absorbing state)."""
-    problem_hard = HestonPDE(clamp_smoothing="hard")
-    problem_soft = HestonPDE(clamp_smoothing="softplus", smooth_beta=50.0)
+    problem_hard = HestonPDE(clamp_output=True, clamp_smoothing="hard")
+    problem_soft = HestonPDE(clamp_output=True, clamp_smoothing="softplus",
+                             smooth_beta=50.0)
     net, params = _setup(problem_hard)
     # Bias the net so u is strongly negative everywhere → hard clamp floor
     neg = jax.tree_util.tree_map(lambda x: x, params)
@@ -316,7 +319,7 @@ def test_anchor_terminal_condition_exact():
     """At t=T the anchor head vanishes (√τ factor), so u(T,·) = floor(T,·)
     = g EXACTLY for ANY raw net output — both terminal penalties are zero by
     construction."""
-    p = HestonPDE()  # anchor is the default
+    p = HestonPDE(clamp_output=True)  # anchor is the default CLAMPED mode
     assert p.clamp_mode == "anchor"
     S = jnp.linspace(0.3, 2.0, 9)[:, None]
     X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
@@ -327,7 +330,7 @@ def test_anchor_terminal_condition_exact():
 
 
 def test_anchor_floor_is_call_lower_bound():
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=True)
     t = jnp.full((5, 1), 0.25)
     S = jnp.asarray([0.5, 0.9, 1.0, 1.2, 2.0])[:, None]
     X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
@@ -345,7 +348,7 @@ def test_anchor_no_absorbing_state(rng_key):
     """The collapse mode (u pinned at 0 at the money with zero gradient) is
     structurally impossible: at (S0, v0, t=0) u >= floor > 0, and ∂u/∂raw =
     √τ·sigmoid(raw+shift) > 0 for t < T — gradients NEVER all vanish."""
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=True)
     net, params = _setup(p)
     net_u = make_net_u(net, transform=p.transform_u)
     # drive the raw output far negative — the hard clamp's collapse regime
@@ -369,7 +372,7 @@ def test_anchor_no_absorbing_state(rng_key):
 def test_anchor_z_includes_floor_delta():
     """Z_S through the anchor = ∂floor/∂S + head term: deep ITM with a
     saturated head, delta → 1 (the floor's delta), not 0."""
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=True)
     net, params = _setup(p)
     net_u = make_net_u(net, transform=p.transform_u)
     leaves, treedef = jax.tree_util.tree_flatten(params)

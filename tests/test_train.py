@@ -455,7 +455,7 @@ def test_collapse_restart_rolls_back_and_rerolls():
     collapse_max_restarts (VERDICT r2 #7)."""
     from dnnpde_tpu.pde import HestonPDE
 
-    p = HestonPDE(clamp_smoothing="hard")  # reference max(u, 0) semantics
+    p = HestonPDE(clamp_output=True, clamp_smoothing="hard")  # reference max(u, 0)
     tr = Trainer(p, M=8, N=4, layers=[3, 16, 16, 1], seed=0,
                  collapse_restart=True, collapse_max_restarts=2)
     # poison the output bias so u <= 0 everywhere -> Y0 == 0 immediately

@@ -50,6 +50,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="no_correlation | random_correlation | "
                         "restricted_random_correlation")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--heston-diffusion", default="cholesky",
+                   choices=["cholesky", "reference"],
+                   help="Heston 2x2 diffusion: 'cholesky' = true factor of "
+                        "the Heston covariance (default); 'reference' = the "
+                        "reference's matrix (heston_dnnpde.py:593-605 — not "
+                        "a Heston factorization, bug #4; prices ~3.6%% low)")
+    p.add_argument("--heston-output", default="plain",
+                   choices=["plain", "hard", "softplus", "anchor"],
+                   help="Heston output parametrization: 'plain' (default, "
+                        "measured best: +0.1..0.5%%, no collapse) | 'hard' "
+                        "reference max(u,0) | 'softplus' | 'anchor' "
+                        "payoff-anchored floor (see ARCHITECTURE.md 6b)")
     p.add_argument("--compute-dtype", default=None, metavar="DTYPE",
                    help="net hidden-matmul dtype (e.g. bfloat16; params and "
                         "the output head stay f32) — measured +15%% "
@@ -92,7 +104,12 @@ def make_problem(args):
     if args.problem == "hjb":
         return pde.HamiltonJacobiBellman(D=args.D, T=args.T)
     if args.problem == "heston":
-        return pde.HestonPDE(T=args.T)
+        if args.heston_output == "plain":
+            return pde.HestonPDE(T=args.T, diffusion=args.heston_diffusion)
+        return pde.HestonPDE(
+            T=args.T, diffusion=args.heston_diffusion,
+            clamp_output=True, clamp_smoothing=args.heston_output,
+        )
     raise ValueError(args.problem)
 
 

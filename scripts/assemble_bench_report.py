@@ -23,6 +23,10 @@ LOGS = [
     "results_r3/basket_matrix.log",
     "results_r3/basket_d10_diag.log",
     "results_r3/heston_n100_budget.log",
+    "results_r3/heston_discrete_value.log",
+    "results_r3/heston_output_modes.log",
+    "results_r3/heston_default_matrix.log",
+    "results_r3/heston_converged.log",
     "results_r3/harness.log",
 ]
 

@@ -29,6 +29,28 @@ def test_make_problem(name, dim):
     assert p.dim == (2 if name == "heston" else dim)
 
 
+def test_heston_cli_flags():
+    """--heston-diffusion / --heston-output map onto HestonPDE fields
+    (round-3 defaults: cholesky + plain; reference parity reachable)."""
+    args = build_parser().parse_args(["--problem", "heston"])
+    p = make_problem(args)
+    assert p.diffusion == "cholesky" and not p.clamp_output
+
+    args = build_parser().parse_args([
+        "--problem", "heston", "--heston-diffusion", "reference",
+        "--heston-output", "hard",
+    ])
+    p = make_problem(args)
+    assert p.diffusion == "reference"
+    assert p.clamp_output and p.clamp_smoothing == "hard"
+
+    args = build_parser().parse_args([
+        "--problem", "heston", "--heston-output", "anchor",
+    ])
+    p = make_problem(args)
+    assert p.clamp_output and p.clamp_mode == "anchor"
+
+
 def test_oracle_available_for_every_problem():
     for name in ("bsb", "call1d", "basket", "hjb", "heston"):
         args = build_parser().parse_args(["--problem", name, "--D", "3"])

@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="net hidden-matmul dtype (e.g. bfloat16; params and "
                         "the output head stay f32) — measured +15%% "
                         "throughput at large batch with accuracy held")
+    p.add_argument("--x0-scale", type=float, default=0.0, metavar="SCALE",
+                   help="SURFACE-training mode: draw each iteration's "
+                        "initial states X0 from a mean-preserving jitter of "
+                        "scale SCALE around problem.x0 (lognormal for "
+                        "positive-state problems, Gaussian for hjb) instead "
+                        "of broadcasting one point — u(0, .) is then "
+                        "learned on the sampled region, not just at x0 "
+                        "(beyond-reference; see sim.x0_samplers)")
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic (dW, -dW) training minibatches — "
                         "variance-reduced loss/gradient estimator (even M)")
@@ -111,6 +119,19 @@ def make_problem(args):
             clamp_output=True, clamp_smoothing=args.heston_output,
         )
     raise ValueError(args.problem)
+
+
+def _make_x0_sampler(args, problem):
+    """--x0-scale > 0 → surface-training X0 jitter. hjb's state lives on
+    all of R^D (x0 = 0), so it gets the additive sampler; every other
+    problem in the zoo has strictly positive states (prices/variances)."""
+    if not args.x0_scale:
+        return None
+    from dnnpde_tpu.sim import gaussian_x0, lognormal_x0
+
+    if args.problem == "hjb":
+        return gaussian_x0(problem.x0, args.x0_scale)
+    return lognormal_x0(problem.x0, args.x0_scale)
 
 
 def oracle_y0(problem, args) -> float | None:
@@ -187,6 +208,7 @@ def main(argv=None) -> int:
         ),
         antithetic=args.antithetic,
         ema_decay=args.ema_decay,
+        x0_sampler=_make_x0_sampler(args, problem),
     )
     if args.resume:
         trainer.load_model(args.resume)

@@ -17,12 +17,17 @@ import numpy as np
 Array = jnp.ndarray
 
 
-def compute_greeks(trainer, t, X) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def compute_greeks(
+    trainer, t, X, use_ema: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(u, delta, gamma_diag) at batched (t, X).
 
     u: (M, 1); delta = ∇ₓu: (M, D); gamma_diag = diag(∂²u/∂X²): (M, D).
+    ``use_ema=True`` evaluates the Polyak/EMA shadow (same convention as
+    ``Trainer.predict``); requires the trainer to have been built with
+    ``ema_decay``.
     """
-    params = trainer.params
+    params = trainer.ema_params if use_ema else trainer.params
     net = trainer.net
     problem = trainer.problem
     t = jnp.asarray(t, jnp.float32).reshape(-1, 1)
@@ -79,12 +84,14 @@ def learned_price_surface(
     return np.asarray(grid)
 
 
-def heston_greeks(trainer, S, v, t) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def heston_greeks(
+    trainer, S, v, t, use_ema: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Heston-layout wrapper: (price, delta=∂u/∂S, gamma=∂²u/∂S²) over
     batched (S, v) at time t (reference ``calculate_greeks`` signature)."""
     S = np.atleast_1d(np.asarray(S, np.float32))
     v = np.atleast_1d(np.asarray(v, np.float32))
     X = np.stack([S, v], axis=-1)
     tcol = np.full((S.shape[0], 1), t, np.float32)
-    u, delta, gamma = compute_greeks(trainer, tcol, X)
+    u, delta, gamma = compute_greeks(trainer, tcol, X, use_ema=use_ema)
     return u[:, 0], delta[:, 0], gamma[:, 0]

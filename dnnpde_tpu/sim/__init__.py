@@ -20,6 +20,7 @@ from dnnpde_tpu.sim.mlmc import (
     mlmc_gbm_price,
     mlmc_minibatch,
 )
+from dnnpde_tpu.sim.x0_samplers import gaussian_x0, lognormal_x0
 
 __all__ = [
     "brownian_increments",
@@ -37,4 +38,6 @@ __all__ = [
     "coupled_brownian_increments",
     "mlmc_gbm_price",
     "mlmc_minibatch",
+    "gaussian_x0",
+    "lognormal_x0",
 ]

@@ -93,6 +93,14 @@ class Trainer:
         Off by default: the carry defeats XLA's dead-code elimination of the
         per-step path stacking and costs ~3× throughput (measured on 100D
         BSB); the scalar ``min_loss`` is tracked either way.
+      x0_sampler: optional ``(key, M) -> (M, D)`` callable (jit-traceable;
+        see ``sim.lognormal_x0`` / ``sim.gaussian_x0``). When set, each
+        iteration draws a fresh batch of initial states on device instead of
+        broadcasting ``problem.x0`` — SURFACE-training mode: u(0, ·) is
+        constrained on the sampled region, not just at x0 (the reference
+        trains from a single Xi only; beyond-parity). Note ``y0_log`` then
+        logs the batch-mean Y0 over the X0 cloud — read the point value
+        u(0, x0) via ``net_u``/``predict``.
     """
 
     def __init__(
@@ -119,6 +127,7 @@ class Trainer:
         collapse_restart: bool = False,
         collapse_tol: float = 1e-5,
         collapse_max_restarts: int = 3,
+        x0_sampler=None,
     ):
         self.problem = problem
         self.M = int(M)
@@ -132,6 +141,7 @@ class Trainer:
         if antithetic and self.M % 2:
             raise ValueError(f"antithetic sampling requires even M, got {M}")
         self.antithetic = antithetic
+        self.x0_sampler = x0_sampler
         # Polyak/EMA averaging of the parameters (beyond-reference option):
         # the shadow tree updates on device inside the chunk; read it back
         # via ``ema_params`` for evaluation/serving.
@@ -337,20 +347,29 @@ class Trainer:
         track_best = self.track_best
 
         ema_decay = self.ema_decay
+        x0_sampler = self.x0_sampler
 
         def one_iter(carry, key):
             if track_best:
                 params, opt_state, ema, best_loss, best_X, best_Y = carry
             else:
                 params, opt_state, ema = carry
-            kw, kn = jax.random.split(key)
+            kw, kn, kx = jax.random.split(key, 3)
             dW = brownian_increments(
                 kw, M, N, Dw, dt, chol, dtype, antithetic=antithetic
             )
             if shard_batch is not None:
                 dW = jax.lax.with_sharding_constraint(dW, shard_batch)
             dWs = jnp.swapaxes(dW, 0, 1)  # (N, M, D) time-major
-            X0 = jnp.broadcast_to(x0, (M, D))
+            if x0_sampler is not None:
+                # Surface-training mode: fresh on-device X0 batch per
+                # iteration (sim/x0_samplers.py) — same key stream
+                # discipline as the increments.
+                X0 = x0_sampler(kx, M).astype(dtype)
+                if shard_batch is not None:
+                    X0 = jax.lax.with_sharding_constraint(X0, shard_batch)
+            else:
+                X0 = jnp.broadcast_to(x0, (M, D))
 
             (loss, res), grads = jax.value_and_grad(
                 self._loss_and_aux, has_aux=True

@@ -27,6 +27,8 @@ LOGS = [
     "results_r3/heston_output_modes.log",
     "results_r3/heston_default_matrix.log",
     "results_r3/heston_converged.log",
+    "results_r3/seed_robustness.log",
+    "results_r3/heston_trained_greeks.log",
     "results_r3/harness.log",
 ]
 

@@ -520,6 +520,112 @@ def heston_default_matrix():
           target="0 collapses and median <= 0.02")
 
 
+def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
+                          budget: int = 20000, M: int = 256):
+    """Trained-model greeks vs the closed-form oracle: after the 20k anneal
+    at the round-3 Heston defaults, compare price/delta/gamma through the
+    consumer-facing ``evals.heston_greeks`` API (EMA read) against the
+    Heston closed form's finite-difference surfaces on an S-grid at
+    (t=0, v=v0), excluding the stencil's zero-padded boundary rows. The
+    reference plots closed-form greeks (``heston_dnnpde.py:1050-1120``) but
+    never scores its trained net's greeks against them.
+
+    ``x0_scale > 0`` switches on SURFACE-training mode (lognormal X0 jitter,
+    ``sim.lognormal_x0``): the t=0 grid becomes in-distribution, which is
+    the whole point of the feature — compare its rows against the
+    point-trained ones."""
+    import numpy as np
+
+    from dnnpde_tpu.evals.greeks import heston_greeks
+    from dnnpde_tpu.numerics import (
+        HestonParams, heston_delta_surface, heston_gamma_surface,
+        heston_price_surface,
+    )
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.sim import lognormal_x0
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE()
+    hp = HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                      sigma=p.sigma_v, rho=p.rho, v0=p.v0)
+    sampler = lognormal_x0(p.x0, x0_scale) if x0_scale > 0 else None
+    tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine", seed=seed,
+                 ema_decay=0.999, x0_sampler=sampler)
+    t0 = time.perf_counter()
+    half, quarter = budget // 2, budget // 4
+    for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+        tr.train(it, lr, log_every=2000, verbose=False)
+    train_wall = time.perf_counter() - t0
+
+    # Grade at two times. At t=0 the ONLY state deep-BSDE ever trains is
+    # (S0, v0) — every path starts there — so a wide S-grid at t=0 is an
+    # out-of-distribution extrapolation test (the reference plots such
+    # surfaces without scoring them). At t=0.5 the simulated paths cover
+    # the grid, so that row measures on-distribution surface accuracy.
+    # u(t, S, v0) equals the closed-form price with maturity T−t.
+    S = np.linspace(0.6, 1.5, 91)
+    V = np.asarray([p.v0])
+
+    def rel_l2(a, b):
+        return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
+
+    for t_eval in (0.0, 0.5):
+        hp_t = HestonParams(K=p.strike, r=p.r, T=p.T - t_eval,
+                            kappa=p.kappa, theta=p.theta, sigma=p.sigma_v,
+                            rho=p.rho, v0=p.v0)
+        price_o = np.asarray(heston_price_surface(S, V, hp_t))[:, 0]
+        delta_o = np.asarray(heston_delta_surface(S, V, hp_t))[:, 0]
+        gamma_o = np.asarray(heston_gamma_surface(S, V, hp_t))[:, 0]
+        sl = slice(1, -1)
+
+        u, delta, gamma = heston_greeks(tr, S, np.full_like(S, p.v0),
+                                        t_eval, use_ema=True)
+        # forward-difference delta oracle lives at midpoints — compare the
+        # model's delta at the same staggering by averaging adjacent nodes
+        delta_model_mid = 0.5 * (delta[:-1] + delta[1:])
+        _emit(study="heston_trained_greeks", seed=seed, M=M, N=50,
+              iters=budget, t=t_eval, grid=[0.6, 1.5, 91], v0=p.v0,
+              x0_scale=x0_scale,
+              on_distribution=bool(t_eval > 0 or x0_scale > 0),
+              price_rel_l2=round(rel_l2(u[sl], price_o[sl]), 5),
+              delta_rel_l2=round(rel_l2(delta_model_mid[:-1], delta_o[:-2]), 5),
+              gamma_rel_l2=round(rel_l2(gamma[sl], gamma_o[sl]), 5),
+              price_max_abs=round(float(np.max(np.abs(u[sl] - price_o[sl]))), 5),
+              delta_max_abs=round(float(np.max(np.abs(delta_model_mid[:-1] - delta_o[:-2]))), 5),
+              atm_delta_model=round(float(delta[np.argmin(np.abs(S - 1.0))]), 5),
+              atm_delta_oracle=round(float(delta_o[np.argmin(np.abs(S - 1.0))]), 5),
+              wall_time_s=round(train_wall, 1))
+
+
+def seed_robustness_matrix(seeds=(0, 1, 2)):
+    """Every harness config × 3 seeds at its default budget — the
+    cross-problem generalization of the Heston acceptance matrix. The
+    round-2 lesson was that single-seed rows can hide fragility (Heston
+    collapse, basket D=10 noise); this matrix puts a measured seed spread
+    next to every headline number. A row is flagged when |rel| > 2%."""
+    from dnnpde_tpu.bench.harness import ALL_BENCHES
+
+    worst = {}
+    for name, fn in ALL_BENCHES.items():
+        rels = []
+        for seed in seeds:
+            row = fn(seed=seed)
+            rels.append(row.rel_error)
+            _emit(study="seed_robustness", name=row.name, seed=seed,
+                  learned_y0=round(row.learned_y0, 6),
+                  oracle_y0=round(row.oracle_y0, 6),
+                  rel_error=round(row.rel_error, 5),
+                  flagged=bool(row.rel_error > 0.02),
+                  wall_time_s=round(row.wall_time_s, 1))
+        worst[row.name] = float(np.max(rels))
+        _emit(study="seed_robustness_summary", name=row.name,
+              seeds=list(seeds), median_rel=round(float(np.median(rels)), 5),
+              max_rel=round(float(np.max(rels)), 5))
+    _emit(study="seed_robustness_overall",
+          worst_config=max(worst, key=worst.get),
+          worst_max_rel=round(max(worst.values()), 5))
+
+
 def heston_collapse_guard(seed: int = 0):
     """Trainer-level collapse auto-restart (VERDICT r2 #7) on a
     known-collapsing configuration: hard clamp, M=128, 20k anneal.
@@ -782,6 +888,16 @@ STUDIES = {
     "heston_converged": heston_converged,
     "heston_output_modes": heston_output_modes,
     "heston_default_matrix": heston_default_matrix,
+    "seed_robustness_matrix": seed_robustness_matrix,
+    "heston_trained_greeks": heston_trained_greeks,
+    # surface-training mode: lognormal X0 jitter, one-sigma S reach
+    # exp(±0.4) ≈ [0.67, 1.49] — matches the grading grid [0.6, 1.5]
+    "heston_trained_greeks_surface":
+        lambda: heston_trained_greeks(x0_scale=0.4),
+    # budget/batch-scaled surface run: is the residual surface error
+    # optimization-bound?
+    "heston_trained_greeks_surface_50k":
+        lambda: heston_trained_greeks(x0_scale=0.4, budget=50000, M=512),
     "basket_matrix": basket_matrix,
     "basket_d10_diag": basket_d10_diag,
     "dim1000_accuracy": dim1000_accuracy,

@@ -100,6 +100,23 @@ def test_heston_greeks_wrapper(heston_trainer):
     assert price.shape == delta.shape == gamma.shape == (3,)
 
 
+def test_greeks_use_ema_evaluates_the_shadow():
+    """use_ema=True must price with the EMA shadow (same convention as
+    Trainer.predict(use_ema=True)): after training, shadow != raw params,
+    and greeks(use_ema=True) equals greeks of a trainer whose params are
+    swapped for the shadow."""
+    tr = Trainer(HestonPDE(), M=8, N=4, layers=[3, 16, 16, 1], seed=1,
+                 ema_decay=0.9)
+    tr.train(20, 1e-2, log_every=10, verbose=False)
+    X = np.asarray([[1.0, 0.2], [1.1, 0.25]], np.float32)
+    t = np.zeros((2, 1), np.float32)
+    u_raw, _, _ = compute_greeks(tr, t, X)
+    u_ema, _, _ = compute_greeks(tr, t, X, use_ema=True)
+    assert not np.allclose(u_raw, u_ema)
+    u_direct, _ = tr.net_u(tr.ema_params, jnp.asarray(t), jnp.asarray(X))
+    np.testing.assert_allclose(u_ema, np.asarray(u_direct), rtol=1e-5)
+
+
 def test_greeks_quadratic_sanity():
     """For a trainer whose exact solution is known (BSB: u ∝ ΣX² at t=T),
     gamma of the *payoff* g = ΣX² is exactly 2 — check autodiff wiring with

@@ -13,6 +13,10 @@ from dnnpde_tpu.numerics.crank_nicolson import (
     cn_delta_gamma,
     crank_nicolson_heston,
 )
+from dnnpde_tpu.numerics.calibration import (
+    CalibrationResult,
+    calibrate_heston,
+)
 from dnnpde_tpu.numerics.discrete_bsde import (
     DiscreteBSDEValue,
     discrete_bsde_value,
@@ -68,6 +72,8 @@ __all__ = [
     "heston_gamma_surface",
     "heston_mc_price",
     "heston_mc_price_ii",
+    "CalibrationResult",
+    "calibrate_heston",
     "DiscreteBSDEValue",
     "discrete_bsde_value",
     "probe_linear_driver",

@@ -1,0 +1,79 @@
+"""Tests: differentiable Heston calibration (numerics/calibration.py).
+
+The calibration is gradient descent through the exact Gauss–Legendre
+closed form — a capability the reference's scipy.quad pricer cannot offer
+(``numerics/sv_heston.py:51-58`` is not differentiable).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnnpde_tpu.numerics import (
+    HestonParams,
+    calibrate_heston,
+    heston_call_price,
+)
+
+
+def _quote_grid(true_params: HestonParams, S0=1.0, r=0.05):
+    strikes = np.repeat([0.85, 0.95, 1.0, 1.05, 1.15], 3)
+    maturities = np.tile([0.5, 1.0, 2.0], 5)
+    quotes = [
+        float(heston_call_price(
+            S0, true_params.v0,
+            HestonParams(K=float(k), r=r, T=float(t),
+                         kappa=true_params.kappa, theta=true_params.theta,
+                         sigma=true_params.sigma, rho=true_params.rho,
+                         v0=true_params.v0)))
+        for k, t in zip(strikes, maturities)
+    ]
+    return strikes, maturities, np.asarray(quotes)
+
+
+def test_synthetic_recovery():
+    """Prices generated from a known parameter set, fit started from the
+    reference defaults: the fitted surface must reprice the quotes to
+    < 0.2% RMSE and the loss must fall monotonically-ish (> 100x)."""
+    true = HestonParams(kappa=1.5, theta=0.25, sigma=0.45, rho=0.5, v0=0.15)
+    strikes, mats, quotes = _quote_grid(true)
+    res = calibrate_heston(1.0, strikes, mats, quotes, r=0.05, n_iter=400)
+    assert res.rmse_rel < 0.002, res.rmse_rel
+    assert res.loss_history[-1] < 1e-2 * res.loss_history[0]
+    # the dominant shape parameters are identified by a 15-quote surface
+    assert abs(res.params.v0 - true.v0) < 0.02
+    assert abs(res.params.rho - true.rho) < 0.25  # weakly identified, bounded
+    assert np.isfinite(res.feller)
+
+
+def test_constraints_always_admissible():
+    """The unconstrained bijections keep every iterate admissible: fit with
+    an aggressive lr and check the result is still in-domain."""
+    true = HestonParams(kappa=2.0, theta=0.2, sigma=0.3, rho=-0.7, v0=0.2)
+    strikes, mats, quotes = _quote_grid(true)
+    res = calibrate_heston(1.0, strikes, mats, quotes, r=0.05,
+                           n_iter=150, lr=0.2)
+    p = res.params
+    assert p.kappa > 0 and p.theta > 0 and p.sigma > 0 and p.v0 > 0
+    assert -1.0 < p.rho < 1.0
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError, match="same length"):
+        calibrate_heston(1.0, [1.0, 1.1], [1.0], [0.1, 0.2], r=0.05)
+
+
+def test_pricer_is_differentiable_wrt_every_parameter():
+    """The capability claim itself: nonzero exact gradients of the closed
+    form wrt all five model parameters (vega-like ∂/∂v0 > 0 etc.)."""
+    def price(kappa, theta, sigma, rho, v0):
+        hp = HestonParams(K=1.0, r=0.05, T=1.0, kappa=kappa, theta=theta,
+                          sigma=sigma, rho=rho, v0=v0)
+        return heston_call_price(1.0, v0, hp)
+
+    g = jax.grad(price, argnums=(0, 1, 2, 3, 4))(2.0, 0.2, 0.3, 0.8, 0.2)
+    g = np.asarray([float(x) for x in g])
+    assert np.isfinite(g).all()
+    assert g[4] > 0.05  # ∂price/∂v0: more variance -> pricier call
+    assert g[1] > 0.05  # ∂price/∂theta likewise

@@ -597,6 +597,35 @@ def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
               wall_time_s=round(train_wall, 1))
 
 
+def scan_unroll():
+    """Rollout lax.scan unroll sweep (SolverConfig.unroll). Hypothesis: at
+    the reference's M=100 geometry the step is latency-bound (N=50 loop
+    iterations of tiny kernels), so unrolling should pay there and be
+    neutral-to-negative at large batch where the MXU is busy."""
+    import jax
+
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.solver import SolverConfig
+    from dnnpde_tpu.train import Trainer
+
+    p = BlackScholesBarenblatt(D=100)
+    for M, iters in ((100, 3000), (2048, 500)):
+        for unroll in (1, 2, 4, 8):
+            tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine", seed=0,
+                         solver_config=SolverConfig(unroll=unroll))
+            chunk = min(1000, iters)
+            tr.train(chunk, 1e-3, log_every=chunk, verbose=False)  # compile
+            jax.block_until_ready(tr.params)
+            t0 = time.perf_counter()
+            res = tr.train(iters, 1e-3, log_every=chunk, verbose=False)
+            _ = float(res.graph[1][-1])
+            wall = time.perf_counter() - t0
+            _emit(study="scan_unroll", M=M, N=50, unroll=unroll,
+                  iters_per_sec=round(iters / wall, 1),
+                  path_steps_per_sec=round(iters / wall * M * 50),
+                  wall_time_s=round(wall, 2))
+
+
 def seed_robustness_matrix(seeds=(0, 1, 2)):
     """Every harness config × 3 seeds at its default budget — the
     cross-problem generalization of the Heston acceptance matrix. The
@@ -889,6 +918,7 @@ STUDIES = {
     "heston_output_modes": heston_output_modes,
     "heston_default_matrix": heston_default_matrix,
     "seed_robustness_matrix": seed_robustness_matrix,
+    "scan_unroll": scan_unroll,
     "heston_trained_greeks": heston_trained_greeks,
     # surface-training mode: lognormal X0 jitter, one-sigma S reach
     # exp(±0.4) ≈ [0.67, 1.49] — matches the grading grid [0.6, 1.5]

@@ -383,3 +383,23 @@ def test_anchor_z_includes_floor_delta():
     X = jnp.asarray([[1.8, 0.2]])  # deep ITM
     _, Z = net_u(params_neg, t, X)
     assert float(Z[0, 0]) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_scan_unroll_preserves_loss(rng_key):
+    """SolverConfig.unroll is a pure scheduling knob: the rollout loss must
+    be identical (to float assoc tolerance) for any unroll factor."""
+    from dnnpde_tpu.solver.bsde import SolverConfig, make_loss_fn
+    from dnnpde_tpu.sim.brownian import time_grid
+
+    problem = BlackScholesBarenblatt(D=4)
+    net, params = _setup(problem)
+    M, N = 8, 9
+    ts = jnp.swapaxes(time_grid(M, N, problem.T, jnp.float32), 0, 1)
+    dWs = 0.1 * jax.random.normal(rng_key, (N, M, problem.dim))
+    X0 = jnp.broadcast_to(jnp.asarray(problem.x0, jnp.float32), (M, problem.dim))
+    losses = []
+    for unroll in (1, 2, 4):
+        loss_fn = make_loss_fn(problem, net,
+                               SolverConfig(remat=False, unroll=unroll))
+        losses.append(float(loss_fn(params, ts, dWs, X0, rng_key).loss))
+    np.testing.assert_allclose(losses[1:], losses[0], rtol=1e-6)

@@ -1,23 +1,27 @@
 """Time-step Richardson extrapolation of the deep-BSDE value.
 
-Measured motivation (round-3 heston_diag study): with the payoff-anchored
-Heston parametrization the trained Y0 converges to the EXACT solution of the
-N-step discrete BSDE — seed/batch spread ~0.3% — whose distance from the
-continuous PDE value is first-order in dt (measured +7.9% at N=25, +4.3% at
-N=50, +2.1% at N=100: halves as N doubles). The reference's scheme is the
-same Euler BSDE recursion (``1d_BSPDE_case.py:246-289``), so it carries the
-same bias; it just never resolved it because the hard-clamp runs were
-unstable (chaotic collapse) and underconverged.
+Train at resolutions N and 2N and combine
 
-When the per-N optimum is hit this reliably, the classical fix applies:
-train at N and 2N and combine
+    Y0* = 2·Y0(2N) − Y0(N)    (cancels the O(dt) term of the Euler
+                               BSDE recursion's weak bias)
 
-    Y0* = 2·Y0(2N) − Y0(N)    (cancels the O(dt) term)
+Validity is measured training-free on the exact discrete-N value D(N)
+(``numerics/discrete_bsde.py``; BENCH_REPORT_r3.jsonl
+"heston_discrete_value_richardson" rows): for the corrected Heston model
+the (N, 2N) combination lands 0.02–0.1% off the closed form at every pair
+tried. The reference's scheme is the same recursion
+(``1d_BSPDE_case.py:246-289``), so the capability applies to it verbatim.
 
-Measured on Heston (BENCH_REPORT_r3.jsonl "heston_anchor" matrix): the
-combination lands within ~0.1–0.5% of the closed form where the raw N=50
-value is 4.3% off. This is a *framework* capability, not Heston-specific —
-it applies to any problem whose trained Y0 is optimization-converged.
+History note (the round-3 diagnosis chain, ARCHITECTURE.md §6b): this
+module was first built when anchored Heston runs appeared to converge to a
++7.9/+4.3/+2.1% bias curve at N=25/50/100. The discrete-BSDE oracle later
+showed that curve was mostly the anchor's own floor-kink bias stacked on
+the reference diffusion's −3.6% model error (bug #4) — the true scheme
+bias at N=50 is only +0.26%, so the benchmarked Heston protocol no longer
+needs an extrapolation pass. The combination itself remains correct and
+measured, and pays whenever a problem IS run at bias-visible resolutions
+(e.g. coarse-N training for speed: D(25) is +0.50% off, and the (25, 50)
+combination recovers +0.04%).
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ from dnnpde_tpu.numerics.calibration import (
     CalibrationResult,
     calibrate_heston,
 )
+from dnnpde_tpu.numerics.implied_vol import bs_vega, implied_vol
 from dnnpde_tpu.numerics.discrete_bsde import (
     DiscreteBSDEValue,
     discrete_bsde_value,
@@ -74,6 +75,8 @@ __all__ = [
     "heston_mc_price_ii",
     "CalibrationResult",
     "calibrate_heston",
+    "bs_vega",
+    "implied_vol",
     "DiscreteBSDEValue",
     "discrete_bsde_value",
     "probe_linear_driver",

@@ -30,6 +30,7 @@ LOGS = [
     "results_r3/seed_robustness.log",
     "results_r3/heston_trained_greeks.log",
     "results_r3/scan_unroll.log",
+    "results_r3/heston_regimes.log",
     "results_r3/harness.log",
 ]
 

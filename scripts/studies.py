@@ -626,6 +626,61 @@ def scan_unroll():
                   wall_time_s=round(wall, 2))
 
 
+def heston_regimes(seeds=(0, 1)):
+    """The corrected Heston defaults outside the reference's parameter
+    point. The reference only ever runs (κ=2, θ=v0=0.2, σ_v=0.3, ρ=+0.8) —
+    an unusually tame, POSITIVE-correlation regime. Equity-index reality is
+    ρ < 0 with low variance levels and often a VIOLATED Feller condition
+    (2κθ < σ_v²), which stresses the √v clamp in the diffusion. Each regime
+    is scored against the closed form AND the exact discrete value D(50)
+    (scheme-bias control) at the 20k anneal, M=256, EMA read."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import (
+        HestonParams, discrete_bsde_value, heston_call_price,
+    )
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    regimes = {
+        # market-typical equity index: Feller 2κθ = 0.12 < σ_v² = 0.25
+        "equity_index_feller_violated": HestonPDE(
+            kappa=1.5, theta=0.04, sigma_v=0.5, rho=-0.7, v0=0.04, r=0.03),
+        # negative-rho, Feller satisfied (2κθ = 0.54 > 0.25)
+        "neg_rho_feller_ok": HestonPDE(
+            kappa=3.0, theta=0.09, sigma_v=0.5, rho=-0.5, v0=0.09, r=0.03),
+        # high vol-of-vol stress: σ_v = 1.0, Feller badly violated (0.16 < 1)
+        "high_volvol_stress": HestonPDE(
+            kappa=2.0, theta=0.04, sigma_v=1.0, rho=-0.6, v0=0.04, r=0.03),
+    }
+    for tag, p in regimes.items():
+        hp = HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa,
+                          theta=p.theta, sigma=p.sigma_v, rho=p.rho, v0=p.v0)
+        cf = float(heston_call_price(p.S0, p.v0, hp))
+        d50 = discrete_bsde_value(p, N=50, n_paths=8_388_608, seed=7,
+                                  batch=1_048_576)
+        tr = Trainer(p, M=256, N=50, mode="FC", activation="Sine", seed=0,
+                     ema_decay=0.999)
+        for seed in seeds:
+            tr.reset(seed)
+            t0 = time.perf_counter()
+            for it, lr in ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)):
+                tr.train(it, lr, log_every=2000, verbose=False)
+            u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                            jnp.asarray(p.x0)[None, :])
+            ey = float(u[0, 0])
+            _emit(study="heston_regimes", regime=tag, seed=seed, M=256, N=50,
+                  iters=20000, feller=round(2 * p.kappa * p.theta
+                                            - p.sigma_v**2, 4),
+                  ema_y0=round(ey, 6), oracle_cf=round(cf, 6),
+                  discrete_exact=round(d50.value, 6),
+                  discrete_se=round(d50.standard_error, 6),
+                  rel_vs_cf=round((ey - cf) / cf, 5),
+                  rel_vs_discrete=round((ey - d50.value) / d50.value, 5),
+                  scheme_bias_n50=round((d50.value - cf) / cf, 5),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+
+
 def seed_robustness_matrix(seeds=(0, 1, 2)):
     """Every harness config × 3 seeds at its default budget — the
     cross-problem generalization of the Heston acceptance matrix. The
@@ -919,6 +974,7 @@ STUDIES = {
     "heston_default_matrix": heston_default_matrix,
     "seed_robustness_matrix": seed_robustness_matrix,
     "scan_unroll": scan_unroll,
+    "heston_regimes": heston_regimes,
     "heston_trained_greeks": heston_trained_greeks,
     # surface-training mode: lognormal X0 jitter, one-sigma S reach
     # exp(±0.4) ≈ [0.67, 1.49] — matches the grading grid [0.6, 1.5]

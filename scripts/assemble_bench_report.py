@@ -31,6 +31,7 @@ LOGS = [
     "results_r3/heston_trained_greeks.log",
     "results_r3/scan_unroll.log",
     "results_r3/heston_regimes.log",
+    "results_r3/heston_iv_smile.log",
     "results_r3/harness.log",
 ]
 

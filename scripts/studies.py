@@ -681,6 +681,78 @@ def heston_regimes(seeds=(0, 1)):
                   wall_time_s=round(time.perf_counter() - t0, 1))
 
 
+def heston_iv_smile(seed: int = 0, x0_scale: float = 0.4, M: int = 256,
+                    budget: int = 20000, width: int = 256, N: int = 50):
+    """Capstone workflow: surface-trained deep-BSDE model → implied-vol
+    smile vs the closed form. Heston call prices are homogeneous of degree
+    1 in (S, K) (the dynamics are scale-invariant in S), so the single
+    K=1 model's t=0 surface yields the whole smile at S0=1:
+    price(S0=1, K) = K · u(0, 1/K, v0). Each model price is then inverted
+    to a Black–Scholes implied vol (numerics/implied_vol.py) and compared
+    against the closed form's IV, strike by strike. Ties together surface
+    training + the greeks/eval read + batched IV inversion."""
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from dnnpde_tpu.numerics import (
+        HestonParams, heston_call_price, implied_vol,
+    )
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.sim import lognormal_x0
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE()
+    tr = Trainer(p, M=M, N=N, layers=[3, width, width, width, width, 1],
+                 mode="FC", activation="Sine", seed=seed,
+                 ema_decay=0.999, x0_sampler=lognormal_x0(p.x0, x0_scale))
+    t0 = time.perf_counter()
+    half, quarter = budget // 2, budget // 4
+    for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+        tr.train(it, lr, log_every=2000, verbose=False)
+    train_wall = time.perf_counter() - t0
+
+    Ks = np.linspace(0.75, 1.3, 23)
+    # homogeneity: price(1, K) = K * u(0, 1/K, v0) from the K=1 model
+    S_eval = (1.0 / Ks).astype(np.float32)
+    X = jnp.stack([jnp.asarray(S_eval),
+                   jnp.full_like(jnp.asarray(S_eval), p.v0)], axis=-1)
+    u, _ = tr.net_u(tr.ema_params, jnp.zeros((len(Ks), 1)), X)
+    model_prices = Ks * np.asarray(u[:, 0])
+    cf_prices = np.asarray([
+        float(heston_call_price(1.0, p.v0, HestonParams(
+            K=float(k), r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+            sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+        for k in Ks
+    ])
+    model_iv = np.asarray(implied_vol(model_prices, 1.0, Ks, p.T, p.r))
+    cf_iv = np.asarray(implied_vol(cf_prices, 1.0, Ks, p.T, p.r))
+    err = model_iv - cf_iv
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.plot(Ks, 100 * cf_iv, "k-", lw=2, label="Heston closed form")
+    ax.plot(Ks, 100 * model_iv, "o--", ms=4,
+            label="surface-trained deep-BSDE (K=1 model + homogeneity)")
+    ax.set_xlabel("strike K (S0 = 1)")
+    ax.set_ylabel("BS implied vol (%)")
+    ax.set_title("Heston IV smile: trained surface vs closed form (t=0)")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig("results_r3/heston_iv_smile.png", dpi=120)
+    plt.close(fig)
+
+    _emit(study="heston_iv_smile", seed=seed, M=M, N=N, iters=budget,
+          width=width, x0_scale=x0_scale, strikes=[0.75, 1.3, 23],
+          max_abs_iv_error_volpts=round(float(np.max(np.abs(err))) * 100, 3),
+          mean_abs_iv_error_volpts=round(float(np.mean(np.abs(err))) * 100, 3),
+          atm_model_iv=round(float(model_iv[np.argmin(np.abs(Ks - 1.0))]), 5),
+          atm_cf_iv=round(float(cf_iv[np.argmin(np.abs(Ks - 1.0))]), 5),
+          png="results_r3/heston_iv_smile.png",
+          wall_time_s=round(train_wall, 1))
+
+
 def seed_robustness_matrix(seeds=(0, 1, 2)):
     """Every harness config × 3 seeds at its default budget — the
     cross-problem generalization of the Heston acceptance matrix. The
@@ -975,6 +1047,16 @@ STUDIES = {
     "seed_robustness_matrix": seed_robustness_matrix,
     "scan_unroll": scan_unroll,
     "heston_regimes": heston_regimes,
+    "heston_iv_smile": heston_iv_smile,
+    "heston_iv_smile_strong":
+        lambda: heston_iv_smile(x0_scale=0.3, M=1024, budget=40000,
+                                width=512),
+    # conditioning hypothesis: a smooth surface lift vanishing at T costs
+    # ~M*c^2/N in summed residuals, so SMALLER N should pin the surface
+    # tighter (at the price of more scheme bias) — sweep N
+    "heston_iv_smile_nsweep":
+        lambda: [heston_iv_smile(x0_scale=0.3, M=1024, budget=20000,
+                                 width=256, N=n) for n in (50, 25, 12)],
     "heston_trained_greeks": heston_trained_greeks,
     # surface-training mode: lognormal X0 jitter, one-sigma S reach
     # exp(±0.4) ≈ [0.67, 1.49] — matches the grading grid [0.6, 1.5]

@@ -57,11 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's matrix (heston_dnnpde.py:593-605 — not "
                         "a Heston factorization, bug #4; prices ~3.6%% low)")
     p.add_argument("--heston-output", default="plain",
-                   choices=["plain", "hard", "softplus", "anchor"],
+                   choices=["plain", "hard", "softplus", "anchor", "bs"],
                    help="Heston output parametrization: 'plain' (default, "
                         "measured best: +0.1..0.5%%, no collapse) | 'hard' "
                         "reference max(u,0) | 'softplus' | 'anchor' "
-                        "payoff-anchored floor (see ARCHITECTURE.md 6b)")
+                        "payoff-anchored floor | 'bs' BS control-variate "
+                        "parametrization (see ARCHITECTURE.md 6b/6c)")
     p.add_argument("--compute-dtype", default=None, metavar="DTYPE",
                    help="net hidden-matmul dtype (e.g. bfloat16; params and "
                         "the output head stay f32) — measured +15%% "

@@ -79,10 +79,13 @@ class HestonPDE(PDEProblem):
     #   reference-diffusion model pricing −3.6% below the Heston closed
     #   form (see ``diffusion``).
     clamp_output: bool = False
-    # How u ≥ 0 is enforced when clamp_output=True — see the measured
-    # tradeoffs above. "anchor" remains the safest clamped mode (collapse
-    # impossible); "hard" is reference parity.
-    clamp_smoothing: str = "anchor"  # "hard" | "softplus" | "anchor"
+    # Output transform when clamp_output=True — see the measured tradeoffs
+    # above. "anchor" remains the safest positivity-enforcing mode
+    # (collapse impossible); "hard" is reference parity; "bs" is the
+    # round-3 BS CONTROL-VARIATE parametrization (not a clamp): u =
+    # BS(S, K, τ, √v) + √(τ/T)·raw — smooth for τ > 0, terminal condition
+    # exact, the Γ-peak carried analytically (see transform_u).
+    clamp_smoothing: str = "anchor"  # "hard" | "softplus" | "anchor" | "bs"
     smooth_beta: float = 50.0
     # Anchor-head init prior: softplus(anchor_shift) is the head's output
     # scale at a zero-init net; −2 → 0.127, matching the flagship's ATM
@@ -150,8 +153,31 @@ class HestonPDE(PDEProblem):
         return jnp.maximum(S - self.strike * jnp.exp(-self.r * (self.T - t)), 0.0)
 
     def transform_u(self, t: Array, X: Array, u: Array) -> Array:
-        if self.clamp_smoothing != "anchor" or not self.clamp_output:
+        if not self.clamp_output or self.clamp_smoothing not in (
+            "anchor", "bs"
+        ):
             return super().transform_u(t, X, u)
+        if self.clamp_smoothing == "bs":
+            # Black–Scholes CONTROL-VARIATE parametrization:
+            #     u = BS(S, K, τ, σ=√v) + √(τ/T)·raw
+            # BS at σ=√v is the leading-order Heston price; it is C∞ for
+            # τ > 0 (unlike the intrinsic-value anchor, whose kink biased
+            # the trained price +8–10% high) and equals the payoff EXACTLY
+            # at τ = 0 (BS(τ=0) = max(S−K, 0) = g, ∂S BS(τ=0) = Dg a.e.),
+            # so both terminal penalties vanish by construction. The net
+            # learns only the (small, smooth) stochastic-vol correction —
+            # in particular the Γ-peak is carried analytically by the BS
+            # base instead of being fit by a smooth MLP (the measured
+            # ~2-volpt surface-mode IV floor of the plain output,
+            # ARCHITECTURE.md §6c). The √τ factor keeps the correction
+            # from violating terminal exactness; its sign is free.
+            from dnnpde_tpu.numerics.black_scholes import black_scholes_call
+
+            S, v = X[..., 0:1], X[..., 1:2]
+            tau = jnp.clip(self.T - t, 0.0, None)
+            sig = jnp.sqrt(jnp.clip(v, 1e-8, None))
+            base = black_scholes_call(S, self.strike, tau, self.r, sig)
+            return base + jnp.sqrt(tau / self.T) * u
         head = jax.nn.softplus(u + self.anchor_shift)
         if self.anchor_time_scale == "sqrt":
             tau = jnp.clip((self.T - t) / self.T, 0.0, None)

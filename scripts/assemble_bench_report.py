@@ -32,6 +32,8 @@ LOGS = [
     "results_r3/scan_unroll.log",
     "results_r3/heston_regimes.log",
     "results_r3/heston_iv_smile.log",
+    "results_r3/heston_bs_point.log",
+    "results_r3/heston_bs_mode.log",
     "results_r3/harness.log",
 ]
 

@@ -457,6 +457,7 @@ def heston_output_modes():
         "hard": HestonPDE(clamp_output=True, clamp_smoothing="hard"),
         "softplus": HestonPDE(clamp_output=True, clamp_smoothing="softplus"),
         "anchor": HestonPDE(clamp_output=True),
+        "bs": HestonPDE(clamp_output=True, clamp_smoothing="bs"),
     }
     for tag, p in modes.items():
         tr = Trainer(p, M=128, N=50, mode="FC", activation="Sine", seed=0,
@@ -521,7 +522,8 @@ def heston_default_matrix():
 
 
 def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
-                          budget: int = 20000, M: int = 256):
+                          budget: int = 20000, M: int = 256,
+                          output_mode: str = "plain"):
     """Trained-model greeks vs the closed-form oracle: after the 20k anneal
     at the round-3 Heston defaults, compare price/delta/gamma through the
     consumer-facing ``evals.heston_greeks`` API (EMA read) against the
@@ -545,7 +547,8 @@ def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
     from dnnpde_tpu.sim import lognormal_x0
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    p = (HestonPDE() if output_mode == "plain"
+         else HestonPDE(clamp_output=True, clamp_smoothing=output_mode))
     hp = HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
                       sigma=p.sigma_v, rho=p.rho, v0=p.v0)
     sampler = lognormal_x0(p.x0, x0_scale) if x0_scale > 0 else None
@@ -585,7 +588,7 @@ def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
         delta_model_mid = 0.5 * (delta[:-1] + delta[1:])
         _emit(study="heston_trained_greeks", seed=seed, M=M, N=50,
               iters=budget, t=t_eval, grid=[0.6, 1.5, 91], v0=p.v0,
-              x0_scale=x0_scale,
+              x0_scale=x0_scale, output_mode=output_mode,
               on_distribution=bool(t_eval > 0 or x0_scale > 0),
               price_rel_l2=round(rel_l2(u[sl], price_o[sl]), 5),
               delta_rel_l2=round(rel_l2(delta_model_mid[:-1], delta_o[:-2]), 5),
@@ -682,7 +685,8 @@ def heston_regimes(seeds=(0, 1)):
 
 
 def heston_iv_smile(seed: int = 0, x0_scale: float = 0.4, M: int = 256,
-                    budget: int = 20000, width: int = 256, N: int = 50):
+                    budget: int = 20000, width: int = 256, N: int = 50,
+                    output_mode: str = "plain"):
     """Capstone workflow: surface-trained deep-BSDE model → implied-vol
     smile vs the closed form. Heston call prices are homogeneous of degree
     1 in (S, K) (the dynamics are scale-invariant in S), so the single
@@ -704,7 +708,8 @@ def heston_iv_smile(seed: int = 0, x0_scale: float = 0.4, M: int = 256,
     from dnnpde_tpu.sim import lognormal_x0
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    p = (HestonPDE() if output_mode == "plain"
+         else HestonPDE(clamp_output=True, clamp_smoothing=output_mode))
     tr = Trainer(p, M=M, N=N, layers=[3, width, width, width, width, 1],
                  mode="FC", activation="Sine", seed=seed,
                  ema_decay=0.999, x0_sampler=lognormal_x0(p.x0, x0_scale))
@@ -744,7 +749,8 @@ def heston_iv_smile(seed: int = 0, x0_scale: float = 0.4, M: int = 256,
     plt.close(fig)
 
     _emit(study="heston_iv_smile", seed=seed, M=M, N=N, iters=budget,
-          width=width, x0_scale=x0_scale, strikes=[0.75, 1.3, 23],
+          width=width, x0_scale=x0_scale, output_mode=output_mode,
+          strikes=[0.75, 1.3, 23],
           max_abs_iv_error_volpts=round(float(np.max(np.abs(err))) * 100, 3),
           mean_abs_iv_error_volpts=round(float(np.mean(np.abs(err))) * 100, 3),
           atm_model_iv=round(float(model_iv[np.argmin(np.abs(Ks - 1.0))]), 5),
@@ -1054,6 +1060,9 @@ STUDIES = {
     # conditioning hypothesis: a smooth surface lift vanishing at T costs
     # ~M*c^2/N in summed residuals, so SMALLER N should pin the surface
     # tighter (at the price of more scheme bias) — sweep N
+    "heston_bs_mode":
+        lambda: (heston_trained_greeks(x0_scale=0.4, output_mode="bs"),
+                 heston_iv_smile(x0_scale=0.3, M=1024, output_mode="bs")),
     "heston_iv_smile_nsweep":
         lambda: [heston_iv_smile(x0_scale=0.3, M=1024, budget=20000,
                                  width=256, N=n) for n in (50, 25, 12)],

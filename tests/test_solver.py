@@ -60,6 +60,7 @@ def _reference_loop_loss(problem, net, params, t, W, X0):
     HestonPDE(diffusion="reference"),  # reference sigma matrix (bug #4 parity)
     HestonPDE(clamp_output=True),  # payoff-anchored output parametrization
     HestonPDE(clamp_output=True, clamp_smoothing="hard"),  # reference max(u, 0)
+    HestonPDE(clamp_output=True, clamp_smoothing="bs"),  # BS control variate
 ])
 def test_scan_matches_reference_loop(problem, rng_key):
     net, params = _setup(problem)
@@ -403,3 +404,68 @@ def test_scan_unroll_preserves_loss(rng_key):
                                SolverConfig(remat=False, unroll=unroll))
         losses.append(float(loss_fn(params, ts, dWs, X0, rng_key).loss))
     np.testing.assert_allclose(losses[1:], losses[0], rtol=1e-6)
+
+
+def test_bs_anchor_terminal_condition_exact():
+    """BS control-variate mode: at t=T, BS(τ=0) = g exactly and the √τ
+    factor kills the head — u(T,·) = g for ANY raw output, so both terminal
+    penalties vanish by construction (same property as the payoff anchor,
+    without its kink at t < T)."""
+    p = HestonPDE(clamp_output=True, clamp_smoothing="bs")
+    S = jnp.linspace(0.3, 2.0, 9)[:, None]
+    X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
+    tT = jnp.full((9, 1), p.T)
+    for raw in (jnp.full((9, 1), -7.0), jnp.zeros((9, 1)), jnp.full((9, 1), 4.0)):
+        u = p.transform_u(tT, X, raw)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(p.g(X)),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_bs_anchor_smooth_at_the_forward_strike():
+    """Unlike the intrinsic-value anchor (kinked at S = K·e^{−rτ} for all
+    t < T — the measured +8–10% bias mechanism), the BS base is C∞ in S for
+    τ > 0: the second derivative of the transform (raw held fixed) must be
+    finite and CONTINUOUS across the forward strike."""
+    p = HestonPDE(clamp_output=True, clamp_smoothing="bs")
+    t = jnp.full((1, 1), 0.5)
+    Kf = float(p.strike * np.exp(-p.r * (p.T - 0.5)))
+
+    def u_of_S(s):
+        X = jnp.asarray([[s, 0.2]])
+        return p.transform_u(t, X, jnp.zeros((1, 1)))[0, 0]
+
+    gamma = jax.grad(jax.grad(u_of_S))
+    eps = 1e-3
+    g_lo, g_at, g_hi = (float(gamma(jnp.asarray(s)))
+                        for s in (Kf - eps, Kf, Kf + eps))
+    assert np.isfinite([g_lo, g_at, g_hi]).all()
+    assert abs(g_hi - g_lo) < 0.05 * abs(g_at)  # continuous, no kink jump
+
+    # the anchor mode's floor, by contrast, jumps by ~1 unit of delta there
+    pa = HestonPDE(clamp_output=True, clamp_smoothing="anchor")
+
+    def floor_delta(s):
+        X = jnp.asarray([[s, 0.2]])
+        return jax.grad(
+            lambda ss: pa.intrinsic_floor(t, jnp.asarray([[ss, 0.2]]))[0, 0]
+        )(s)
+
+    assert float(floor_delta(Kf + 1e-3)) - float(floor_delta(Kf - 1e-3)) > 0.9
+
+
+def test_bs_anchor_base_is_bs_price():
+    """raw = 0 at t < T gives exactly the BS price at σ = √v (the control
+    variate itself)."""
+    from dnnpde_tpu.numerics import black_scholes_call
+
+    p = HestonPDE(clamp_output=True, clamp_smoothing="bs")
+    t = jnp.full((3, 1), 0.25)
+    S = jnp.asarray([0.8, 1.0, 1.3])[:, None]
+    v = jnp.asarray([0.1, 0.2, 0.3])[:, None]
+    X = jnp.concatenate([S, v], axis=1)
+    u = p.transform_u(t, X, jnp.zeros((3, 1)))
+    tau = p.T - 0.25
+    for i in range(3):
+        bs = float(black_scholes_call(float(S[i, 0]), p.strike, tau, p.r,
+                                      float(jnp.sqrt(v[i, 0]))))
+        assert float(u[i, 0]) == pytest.approx(bs, rel=1e-5)

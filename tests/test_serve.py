@@ -175,6 +175,28 @@ def test_softplus_clamp_export_parity():
     assert (u > 0.0).all()  # softplus floor is strictly positive
 
 
+def test_bs_anchor_export_parity():
+    """The BS control-variate mode serves the same u/Z as training (the
+    transform — BS base + √τ head — is baked into the artifact)."""
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE(clamp_output=True, clamp_smoothing="bs")
+    trainer = Trainer(p, M=4, N=2, layers=[3, 12, 1], mode="FC",
+                      activation="Sine", seed=1)
+    from jax import export as jax_export
+
+    from dnnpde_tpu.serve.export import ServedSolution, export_trainer
+
+    sol = ServedSolution(jax_export.deserialize(export_trainer(trainer)))
+    X = np.asarray([[0.8, 0.15], [1.0, 0.2], [1.3, 0.3]], np.float32)
+    t = np.zeros((3, 1), np.float32)
+    u, Z = sol.u_and_grad(t, X)
+    u_ref, Z_ref = trainer.evaluate_u(t, X)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(Z, Z_ref, rtol=1e-5, atol=1e-7)
+
+
 def test_sdenet_export(tmp_path):
     """ADVICE r2 (low): exporting a stochastic net must not fail at trace
     time — it serves the fixed-key eval path, matching make_net_u."""

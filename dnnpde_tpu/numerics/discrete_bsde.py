@@ -169,6 +169,13 @@ def discrete_bsde_value(
         X0 = jnp.broadcast_to(x0, (batch, D))
         XN, _ = jax.lax.scan(step, X0, jnp.arange(N))
         pay = problem.g(XN)[:, 0]
+        if antithetic:
+            # Pair-mean statistics: the i.i.d. units are the pair means
+            # (g(W) + g(−W))/2, not the pooled payoffs — pooling would
+            # report the plain-MC SE and hide the variance reduction
+            # (the pair covariance is what antithetic buys).
+            pm = 0.5 * (pay[: batch // 2] + pay[batch // 2 :])
+            return jnp.sum(pm), jnp.sum(pm * pm)
         return jnp.sum(pay), jnp.sum(pay * pay)
 
     total, total_sq = 0.0, 0.0
@@ -177,14 +184,14 @@ def discrete_bsde_value(
         s, s2 = one_batch(k)
         total += float(s)
         total_sq += float(s2)
-    n = n_batches * batch
-    mean = total / n
-    var = max(total_sq / n - mean * mean, 0.0)
+    n_units = n_batches * (batch // 2 if antithetic else batch)
+    mean = total / n_units
+    var = max(total_sq / n_units - mean * mean, 0.0)
     disc = float((1.0 + rate * dt) ** (-N))
     return DiscreteBSDEValue(
         value=disc * mean,
-        standard_error=disc * float(np.sqrt(var / n)),
-        n_paths=n,
+        standard_error=disc * float(np.sqrt(var / n_units)),
+        n_paths=n_batches * batch,
         N=N,
         rate=rate,
     )

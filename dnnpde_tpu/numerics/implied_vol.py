@@ -86,15 +86,42 @@ def implied_vol(
     return _solve_iv(price, S, K, T, r, q, lo, hi, iters)
 
 
+def _unbroadcast(x: Array, shape: tuple) -> Array:
+    """Reduce a broadcast-shaped cotangent back to its primal's ``shape``
+    (sum over the axes broadcasting added or stretched)."""
+    if jnp.shape(x) == tuple(shape):
+        return x
+    n_lead = x.ndim - len(shape)
+    if n_lead:
+        x = jnp.sum(x, axis=tuple(range(n_lead)))
+    stretched = tuple(
+        i for i, s in enumerate(shape) if s == 1 and x.shape[i] != 1
+    )
+    if stretched:
+        x = jnp.sum(x, axis=stretched, keepdims=True)
+    return x.reshape(shape)
+
+
 def _iv_fwd(price, S, K, T, r, q, lo, hi, iters):
-    sigma = implied_vol(price, S, K, T, r, q, lo, hi, iters)
-    return sigma, (sigma, S, K, T, r)
+    # Save the BROADCAST arrays as residuals (the raw args can have
+    # heterogeneous shapes — e.g. scalar T against an array of prices —
+    # and mixing shapes in the backward pass silently mis-associates
+    # cotangents), plus each primal's shape so cotangents reduce back.
+    shapes = tuple(jnp.shape(a) for a in (price, S, K, T, r))
+    price_b, S_b, K_b, T_b, r_b = jnp.broadcast_arrays(
+        *(jnp.asarray(a, jnp.float32) for a in (price, S, K, T, r))
+    )
+    sigma = _solve_iv(price_b, S_b, K_b, T_b, r_b, q, lo, hi, iters)
+    return sigma, (sigma, S_b, K_b, T_b, r_b, shapes)
 
 
 def _iv_bwd(q, lo, hi, iters, res, g):
     """Implicit function theorem at the root C(σ*) = price:
-    dσ/dprice = 1/vega; dσ/dθ = −(∂C/∂θ)/vega for θ ∈ {S, K, T, r}."""
-    sigma, S, K, T, r = res
+    dσ/dprice = 1/vega; dσ/dθ = −(∂C/∂θ)/vega for θ ∈ {S, K, T, r}.
+    All partials are elementwise on the broadcast grid; each cotangent is
+    then summed over broadcast axes back to its primal's shape."""
+    sigma, S, K, T, r = res[:5]
+    shapes = res[5]
     vega = jnp.maximum(bs_vega(S, K, T, r, sigma, q), 1e-12)
 
     def price_of(S, K, T, r):
@@ -102,9 +129,10 @@ def _iv_bwd(q, lo, hi, iters, res, g):
 
     grads = jax.grad(lambda s, k, t, rr: jnp.sum(price_of(s, k, t, rr)),
                      argnums=(0, 1, 2, 3))(S, K, T, r)
-    coef = g / vega
-    return (coef, -coef * grads[0], -coef * grads[1],
+    coef = g / vega  # elementwise, broadcast shape
+    cots = (coef, -coef * grads[0], -coef * grads[1],
             -coef * grads[2], -coef * grads[3])
+    return tuple(_unbroadcast(c, s) for c, s in zip(cots, shapes))
 
 
 implied_vol.defvjp(_iv_fwd, _iv_bwd)

@@ -365,7 +365,15 @@ class Trainer:
                 # Surface-training mode: fresh on-device X0 batch per
                 # iteration (sim/x0_samplers.py) — same key stream
                 # discipline as the increments.
-                X0 = x0_sampler(kx, M).astype(dtype)
+                if antithetic:
+                    # The mirrored dW pairs are (i, i + M/2); each pair
+                    # must share a start state or the pairing (and its
+                    # variance reduction) silently degrades to i.i.d.
+                    # sampling — draw M/2 states and tile across halves.
+                    X0h = x0_sampler(kx, M // 2).astype(dtype)
+                    X0 = jnp.concatenate([X0h, X0h], axis=0)
+                else:
+                    X0 = x0_sampler(kx, M).astype(dtype)
                 if shard_batch is not None:
                     X0 = jax.lax.with_sharding_constraint(X0, shard_batch)
             else:

@@ -90,3 +90,32 @@ def test_heston_smile_has_the_right_shape():
     assert np.all(np.isfinite(ivs)) and np.all(ivs > 0.2)
     assert ivs[-1] > ivs[0]  # rho > 0: upside wing richer
     assert abs(ivs[2] - np.sqrt(hp.v0)) < 0.05  # ATM near sqrt(v0)
+
+
+def test_gradient_broadcast_shapes_reduce_to_primal():
+    """ADVICE r3 (medium): with heterogeneous argument shapes (scalar T,
+    array prices) the VJP must reduce cotangents over broadcast axes —
+    grad w.r.t. a scalar must be a scalar equal to the sum of the
+    per-element sensitivities (checked against central finite differences
+    in f64 NumPy via the f32 primal)."""
+    r = 0.02
+    S = jnp.asarray([0.9, 1.0, 1.1], jnp.float32)
+    K = 1.0
+    sig_true = np.array([0.4, 0.3, 0.35], np.float32)
+    T0 = 0.8
+    prices = jax.vmap(lambda s, v: black_scholes_call(s, K, T0, r, v))(
+        S, jnp.asarray(sig_true)
+    )
+
+    def f(T):
+        return jnp.sum(implied_vol(prices, S, K, T, r))
+
+    g = jax.grad(f)(T0)
+    assert jnp.shape(g) == ()  # scalar primal -> scalar cotangent
+    eps = 1e-3
+    fd = (float(f(T0 + eps)) - float(f(T0 - eps))) / (2 * eps)
+    assert float(g) == pytest.approx(fd, rel=5e-3, abs=5e-4)
+
+    # And the array-arg gradient stays per-element (unchanged behavior).
+    gS = jax.grad(lambda s: jnp.sum(implied_vol(prices, s, K, T0, r)))(S)
+    assert gS.shape == S.shape

@@ -639,3 +639,20 @@ def test_x0_surface_training_learns_off_x0_prices():
     # absolute sanity at this deliberately tiny CPU budget (N=8, 2k iters):
     # measured [0.009, 0.021] vs broadcast [0.029, 0.067]
     assert (err_surface < 0.03).all(), err_surface
+
+
+def test_x0_sampler_antithetic_pairs_share_start_state():
+    """ADVICE r3: antithetic dW pairs are (i, i+M/2); with x0_sampler both
+    halves must share the SAME start states (M/2 draws tiled) or the
+    pairing silently degrades to i.i.d. sampling."""
+    from dnnpde_tpu.sim import lognormal_x0
+
+    p = CallOption1D(D=1)
+    tr = Trainer(p, M=16, N=4, layers=[2, 16, 16, 1], seed=0,
+                 track_best=True, antithetic=True,
+                 x0_sampler=lognormal_x0(p.x0, 0.3))
+    res = tr.train(2, 1e-3, log_every=2, verbose=False)
+    best_X, _ = res.min_loss_state
+    x0_col = np.asarray(best_X)[:, 0, :]  # (M, D) start states
+    np.testing.assert_array_equal(x0_col[:8], x0_col[8:])
+    assert np.std(x0_col[:8, 0]) > 0.05  # still sampled, not broadcast

@@ -19,6 +19,7 @@ from dnnpde_tpu.numerics.calibration import (
 )
 from dnnpde_tpu.numerics.implied_vol import bs_vega, implied_vol
 from dnnpde_tpu.numerics.discrete_bsde import (
+    discrete_bsde_surface,
     DiscreteBSDEValue,
     discrete_bsde_value,
     probe_linear_driver,
@@ -78,6 +79,7 @@ __all__ = [
     "bs_vega",
     "implied_vol",
     "DiscreteBSDEValue",
+    "discrete_bsde_surface",
     "discrete_bsde_value",
     "probe_linear_driver",
     "basket_call_mc",

@@ -123,6 +123,7 @@ def discrete_bsde_value(
     chol: Optional[Array] = None,
     dtype=jnp.float32,
     antithetic: bool = True,
+    x0: Optional[Array] = None,
 ) -> DiscreteBSDEValue:
     """MC-estimate D(N) = E[g(X_N)]/(1+r·Δt)^N under the solver's exact
     Euler chain (same μ/σ/``sigma_dw``/dtype as ``solver/bsde.py::em_step``).
@@ -131,9 +132,26 @@ def discrete_bsde_value(
     the identity — the Heston default bakes ρ into σ instead). ``antithetic``
     pairs (dW, −dW) for variance reduction; the path LAW is unchanged.
     Increments are drawn per step inside the scan, so memory is O(batch·D)
-    regardless of N.
+    regardless of N. ``x0`` overrides the starting state (default
+    ``problem.x0``) — the hook :func:`discrete_bsde_surface` uses to sweep
+    D(N; x0) over a grid of initial states.
     """
     rate = probe_linear_driver(problem)
+    return _discrete_value(
+        problem, rate, N,
+        problem.x0 if x0 is None else x0,
+        n_paths, seed, batch, chol, dtype, antithetic,
+    )
+
+
+# jitted terminal-chain kernels keyed on everything shape/program-relevant,
+# so an S0 sweep (discrete_bsde_surface) compiles ONCE and reruns per state.
+_KERNELS: dict = {}
+
+
+def _discrete_value(
+    problem, rate, N, x0, n_paths, seed, batch, chol, dtype, antithetic,
+) -> DiscreteBSDEValue:
     D, Dw, T = problem.dim, problem.noise_dim, problem.T
     dt = T / N
     sqrt_dt = np.sqrt(dt)
@@ -143,12 +161,11 @@ def discrete_bsde_value(
     n_batches = max(1, int(np.ceil(n_paths / batch)))
     chol_T = None if chol is None else jnp.asarray(chol, dtype).T
 
-    x0 = jnp.asarray(problem.x0, dtype)
+    x0 = jnp.asarray(x0, dtype)
     Yz = jnp.zeros((batch, 1), dtype)
     Zz = jnp.zeros((batch, D), dtype)
 
-    @jax.jit
-    def one_batch(key):
+    def one_batch(key, x0):
         def step(X0, n):
             kn = jax.random.fold_in(key, n)
             if antithetic:
@@ -178,10 +195,24 @@ def discrete_bsde_value(
             return jnp.sum(pm), jnp.sum(pm * pm)
         return jnp.sum(pay), jnp.sum(pay * pay)
 
+    cache_key = (
+        problem, N, batch, bool(antithetic), jnp.dtype(dtype).name,
+        None if chol is None else np.asarray(chol).tobytes(),
+    )
+    try:
+        fn = _KERNELS.get(cache_key)
+    except TypeError:  # unhashable problem: fall back to per-call jit
+        fn = None
+        cache_key = None
+    if fn is None:
+        fn = jax.jit(one_batch)
+        if cache_key is not None:
+            _KERNELS[cache_key] = fn
+
     total, total_sq = 0.0, 0.0
     keys = jax.random.split(jax.random.PRNGKey(seed), n_batches)
     for k in keys:
-        s, s2 = one_batch(k)
+        s, s2 = fn(k, x0)
         total += float(s)
         total_sq += float(s2)
     n_units = n_batches * (batch // 2 if antithetic else batch)
@@ -195,3 +226,44 @@ def discrete_bsde_value(
         N=N,
         rate=rate,
     )
+
+
+def discrete_bsde_surface(
+    problem,
+    N: int,
+    x0s: Array,
+    n_paths: int = 1_000_000,
+    seed: int = 0,
+    batch: int = 262_144,
+    chol: Optional[Array] = None,
+    dtype=jnp.float32,
+    antithetic: bool = True,
+) -> list[DiscreteBSDEValue]:
+    """D(N; x0) over a grid of initial states — the training-free oracle
+    SURFACE (round-4, VERDICT r3 #1b).
+
+    ``x0s``: (K, D) initial states (e.g. the IV-smile evaluation grid
+    S ∈ 1/K with v = v0 for Heston). Returns one :class:`DiscreteBSDEValue`
+    per state, all from the SAME compiled terminal chain (the jitted kernel
+    takes x0 as an argument) and per-state-independent key streams.
+
+    Why it matters: the trained t=0 surface can now be scored against the
+    exact discrete-N surface rather than the continuum closed form —
+    cleanly separating "the discrete-N solution itself sits off the
+    continuum" (scheme bias, shows up in D(N; S0)) from "the network fails
+    to learn the discrete solution" (optimization error, the difference
+    that remains).
+    """
+    rate = probe_linear_driver(problem)
+    x0s = np.asarray(x0s, np.float32)
+    if x0s.ndim != 2 or x0s.shape[1] != problem.dim:
+        raise ValueError(
+            f"x0s must be (K, {problem.dim}), got {x0s.shape}"
+        )
+    return [
+        _discrete_value(
+            problem, rate, N, x0s[i], n_paths, seed + 1000 * i, batch,
+            chol, dtype, antithetic,
+        )
+        for i in range(x0s.shape[0])
+    ]

@@ -13,6 +13,11 @@ from dnnpde_tpu.train.checkpoint import (
     save_checkpoint_orbax,
 )
 from dnnpde_tpu.train.ensemble import EnsembleResult, train_ensemble
+from dnnpde_tpu.train.replicas import (
+    ReplicaResult,
+    replica_values_at,
+    train_replicas,
+)
 from dnnpde_tpu.train.extrapolation import richardson_y0, train_y0
 from dnnpde_tpu.train.optimizers import OPTIMIZER_NAMES, build_optimizer, is_lbfgs
 from dnnpde_tpu.train.schedules import PhaseSpec, TimeStepRefinement, two_phase
@@ -46,4 +51,7 @@ __all__ = [
     "profile_trace",
     "EnsembleResult",
     "train_ensemble",
+    "ReplicaResult",
+    "replica_values_at",
+    "train_replicas",
 ]

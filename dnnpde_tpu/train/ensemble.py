@@ -245,7 +245,11 @@ def train_sensitivity_ensemble(
         updates = jax.tree.map(lambda u: -lr * u, updates)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # NOT donated: this program returns only the losses, so the (params,
+    # opt_states) input buffers have no same-shaped outputs to alias —
+    # donating them is a no-op that makes XLA warn "Some donated buffers
+    # were not usable" on every sensitivity run (VERDICT r3 weak #2).
+    @jax.jit
     def run(params, opt_states, keys):
         def one_iter(carry, inp):
             i, it_keys = inp

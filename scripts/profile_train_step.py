@@ -299,7 +299,7 @@ def main() -> None:
         }
         row["rng_share_of_step"] = round(
             row["rng_gen_us_per_iter"] / (1e6 / ips), 4)
-        if M == 2048:
+        if M == 2048 or args.only_m == M:
             row["trace"] = trace_breakdown(trainer, M, "/tmp/jaxtrace_profile")
         rows.append(row)
         print(json.dumps(row))

@@ -523,7 +523,8 @@ def heston_default_matrix():
 
 def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
                           budget: int = 20000, M: int = 256,
-                          output_mode: str = "plain"):
+                          output_mode: str = "plain",
+                          objective: str = "global"):
     """Trained-model greeks vs the closed-form oracle: after the 20k anneal
     at the round-3 Heston defaults, compare price/delta/gamma through the
     consumer-facing ``evals.heston_greeks`` API (EMA read) against the
@@ -553,7 +554,7 @@ def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
                       sigma=p.sigma_v, rho=p.rho, v0=p.v0)
     sampler = lognormal_x0(p.x0, x0_scale) if x0_scale > 0 else None
     tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine", seed=seed,
-                 ema_decay=0.999, x0_sampler=sampler)
+                 ema_decay=0.999, x0_sampler=sampler, objective=objective)
     t0 = time.perf_counter()
     half, quarter = budget // 2, budget // 4
     for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
@@ -589,6 +590,7 @@ def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
         _emit(study="heston_trained_greeks", seed=seed, M=M, N=50,
               iters=budget, t=t_eval, grid=[0.6, 1.5, 91], v0=p.v0,
               x0_scale=x0_scale, output_mode=output_mode,
+              objective=objective,
               on_distribution=bool(t_eval > 0 or x0_scale > 0),
               price_rel_l2=round(rel_l2(u[sl], price_o[sl]), 5),
               delta_rel_l2=round(rel_l2(delta_model_mid[:-1], delta_o[:-2]), 5),

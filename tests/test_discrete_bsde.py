@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from dnnpde_tpu.numerics import (
+    discrete_bsde_surface,
     HestonParams,
     black_scholes_call,
     discrete_bsde_value,
@@ -115,3 +116,21 @@ def test_antithetic_reduces_standard_error():
                             antithetic=False)
     assert a.standard_error < b.standard_error
     assert np.isclose(a.value, b.value, rtol=0.02)
+
+
+def test_discrete_surface_matches_pointwise_and_shares_compile():
+    """discrete_bsde_surface at the problem's own x0 must agree with
+    discrete_bsde_value (same estimator), and nearby states must move the
+    value monotonically for a call payoff (higher S0 -> higher value)."""
+    p = CallOption1D()
+    x0s = np.array([[0.9], [1.0], [1.1]], np.float32)
+    vals = discrete_bsde_surface(p, N=10, x0s=x0s, n_paths=60_000,
+                                 batch=30_000, seed=0)
+    point = discrete_bsde_value(p, N=10, n_paths=60_000, batch=30_000,
+                                seed=1000)  # surface row i=1 uses seed+1000
+    assert vals[1].value == pytest.approx(point.value, abs=1e-9)
+    assert vals[0].value < vals[1].value < vals[2].value
+    assert all(v.standard_error > 0 for v in vals)
+
+    with pytest.raises(ValueError, match="x0s"):
+        discrete_bsde_surface(p, N=10, x0s=np.zeros((3,)), n_paths=1000)

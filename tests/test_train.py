@@ -656,3 +656,48 @@ def test_x0_sampler_antithetic_pairs_share_start_state():
     x0_col = np.asarray(best_X)[:, 0, :]  # (M, D) start states
     np.testing.assert_array_equal(x0_col[:8], x0_col[8:])
     assert np.std(x0_col[:8, 0]) > 0.05  # still sampled, not broadcast
+
+
+# ------------------------------------------------------ multi-seed replicas
+def test_train_replicas_matches_solo_trainer_stream():
+    """K-replica training mirrors the Trainer's per-seed key discipline:
+    replica k's trajectory must track a solo Trainer(seed=k) run (same
+    phases, same shapes) to float tolerance — one program, K runs."""
+    from dnnpde_tpu.train import train_replicas
+
+    p = CallOption1D(D=1)
+    res = train_replicas(p, seeds=(0, 3), phases=[(60, 1e-3)], M=16, N=4,
+                         layers=[2, 16, 16, 1], log_every=30)
+    assert res.losses.shape == (2, 2) and res.y0s.shape == (2, 2)
+
+    for i, seed in enumerate((0, 3)):
+        tr = Trainer(p, M=16, N=4, layers=[2, 16, 16, 1], seed=seed)
+        tr.train(60, 1e-3, log_every=30, verbose=False)
+        np.testing.assert_allclose(
+            res.y0s[i], np.asarray(tr.y0_log), rtol=2e-3, atol=2e-4
+        )
+    # independent seeds actually differ
+    assert abs(res.y0s[0, -1] - res.y0s[1, -1]) > 1e-6
+
+
+def test_train_replicas_features_compose():
+    """EMA + antithetic + x0_sampler + local objective all ride the
+    replica program; ema read differs from the raw params read."""
+    from dnnpde_tpu.sim import lognormal_x0
+    from dnnpde_tpu.train import replica_values_at, train_replicas
+
+    p = CallOption1D(D=1)
+    res = train_replicas(
+        p, seeds=(0, 1), phases=[(40, 1e-3)], M=16, N=4,
+        layers=[2, 16, 16, 1], ema_decay=0.9, antithetic=True,
+        x0_sampler=lognormal_x0(p.x0, 0.3), objective="local",
+        log_every=20,
+    )
+    u_ema = replica_values_at(p, res, layers=[2, 16, 16, 1])
+    u_raw = replica_values_at(p, res, layers=[2, 16, 16, 1], use_ema=False)
+    assert u_ema.shape == (2, 1) and np.isfinite(u_ema).all()
+    assert not np.allclose(u_ema, u_raw)
+
+    with pytest.raises(ValueError, match="objective"):
+        train_replicas(p, seeds=(0,), phases=[(2, 1e-3)], M=8, N=2,
+                       layers=[2, 8, 8, 1], objective="local_ema")

@@ -56,13 +56,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "the Heston covariance (default); 'reference' = the "
                         "reference's matrix (heston_dnnpde.py:593-605 — not "
                         "a Heston factorization, bug #4; prices ~3.6%% low)")
-    p.add_argument("--heston-output", default="plain",
+    p.add_argument("--heston-output", default="bs",
                    choices=["plain", "hard", "softplus", "anchor", "bs"],
-                   help="Heston output parametrization: 'plain' (default, "
-                        "measured best: +0.1..0.5%%, no collapse) | 'hard' "
+                   help="Heston output parametrization: 'bs' (default since "
+                        "round 4) BS control-variate head — anchor parity "
+                        "plus production-grade greeks | 'plain' the round-3 "
+                        "default (+0.1..0.5%%, no collapse) | 'hard' "
                         "reference max(u,0) | 'softplus' | 'anchor' "
-                        "payoff-anchored floor | 'bs' BS control-variate "
-                        "parametrization (see ARCHITECTURE.md 6b/6c)")
+                        "payoff-anchored floor (see ARCHITECTURE.md 6b-6d)")
+    p.add_argument("--objective", default="global",
+                   choices=["global", "local", "local_ema"],
+                   help="training objective: 'global' reference-style summed "
+                        "residual | 'local' backward-induction per-step "
+                        "residuals with detached targets (the round-4 "
+                        "surface-mode winner: with --x0-scale and "
+                        "--heston-output bs the Heston IV smile lands within "
+                        "0.1 volpt of the closed form) | 'local_ema' frozen "
+                        "EMA-shadow targets (needs --ema-decay)")
+    p.add_argument("--polish", type=int, default=0, metavar="ITERS",
+                   help="run a deterministic full-batch LBFGS polish phase "
+                        "of ITERS steps after training (frozen antithetic "
+                        "batch of --polish-m paths; Trainer.polish)")
+    p.add_argument("--polish-m", type=int, default=8192, metavar="M",
+                   help="frozen-batch size for --polish (default 8192)")
     p.add_argument("--compute-dtype", default=None, metavar="DTYPE",
                    help="net hidden-matmul dtype (e.g. bfloat16; params and "
                         "the output head stay f32) — measured +15%% "
@@ -114,7 +130,8 @@ def make_problem(args):
         return pde.HamiltonJacobiBellman(D=args.D, T=args.T)
     if args.problem == "heston":
         if args.heston_output == "plain":
-            return pde.HestonPDE(T=args.T, diffusion=args.heston_diffusion)
+            return pde.HestonPDE(T=args.T, diffusion=args.heston_diffusion,
+                                 clamp_output=False)
         return pde.HestonPDE(
             T=args.T, diffusion=args.heston_diffusion,
             clamp_output=True, clamp_smoothing=args.heston_output,
@@ -210,6 +227,7 @@ def main(argv=None) -> int:
         antithetic=args.antithetic,
         ema_decay=args.ema_decay,
         x0_sampler=_make_x0_sampler(args, problem),
+        objective=args.objective,
     )
     if args.resume:
         trainer.load_model(args.resume)
@@ -219,6 +237,12 @@ def main(argv=None) -> int:
                        log_every=args.log_every, verbose=not args.quiet)
     r2 = trainer.train(args.iters[1], args.lrs[1], args.optimizer,
                        log_every=args.log_every, verbose=not args.quiet)
+    if args.polish:
+        losses = trainer.polish(n_iter=args.polish, M=args.polish_m)
+        if not args.quiet:
+            print(f"polish: LBFGS {args.polish} steps on a frozen "
+                  f"antithetic batch of {args.polish_m}: loss "
+                  f"{losses[0]:.3e} -> {losses[-1]:.3e}")
     wall = time.time() - t0
 
     out = Path(args.out)

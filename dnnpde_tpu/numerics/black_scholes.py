@@ -21,13 +21,32 @@ from jax.scipy.stats import norm
 Array = jnp.ndarray
 
 
+_TANH_C = 0.7978845608028654  # √(2/π)
+
+
+def _cdf_tanh(x: Array) -> Array:
+    """Smooth Φ(x) approximation 0.5(1 + tanh(√(2/π)(x + 0.044715x³)))
+    (the GELU tanh form; max |Φ̂ − Φ| ≈ 3e-4). Exists for COMPILE-TIME
+    economy inside doubly-differentiated scan bodies: on the v5e, a
+    20k-iteration Heston training program whose output transform calls the
+    erf-based BS price compiles in ~143 s; the tanh form compiles in ~13 s
+    (measured round 4, results_r4/). Runtime cost is comparable."""
+    return 0.5 * (1.0 + jnp.tanh(_TANH_C * (x + 0.044715 * x**3)))
+
+
 def black_scholes_call(
-    S: Array, K: float, T: Array, r: float, sigma: float, q: float = 0.0
+    S: Array, K: float, T: Array, r: float, sigma: float, q: float = 0.0,
+    cdf: str = "erf",
 ) -> Array:
     """European call price; fully broadcastable over S and T (time to maturity).
 
     Handles T → 0 by returning intrinsic value (the reference's grid loop
     evaluates at T−t which reaches 0 at terminal time).
+
+    ``cdf``: "erf" (exact, the oracle default) or "tanh" (smooth ≈3e-4
+    approximation, ~10× cheaper to XLA-compile under double reverse-mode —
+    see :func:`_cdf_tanh`; used by the Heston BS control-variate output
+    transform, where the net absorbs the residual).
     """
     S = jnp.asarray(S)
     T = jnp.asarray(T)
@@ -38,7 +57,8 @@ def black_scholes_call(
         sigma * sqrtT
     )
     d2 = d1 - sigma * sqrtT
-    price = S * jnp.exp(-q * Tc) * norm.cdf(d1) - K * jnp.exp(-r * Tc) * norm.cdf(d2)
+    Phi = _cdf_tanh if cdf == "tanh" else norm.cdf
+    price = S * jnp.exp(-q * Tc) * Phi(d1) - K * jnp.exp(-r * Tc) * Phi(d2)
     intrinsic = jnp.maximum(S - K, 0.0)
     return jnp.where(T <= eps, intrinsic, price)
 

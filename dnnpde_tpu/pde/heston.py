@@ -17,10 +17,14 @@ input width 3 naturally — the reference patches torch layer objects instead,
 ``heston_dnnpde.py:532-541``), Z = ∇ₓu = (∂u/∂S, ∂u/∂v), and the terminal
 gradient penalty applies only to Z_S via ``z_penalty_mask``
 (``heston_dnnpde.py:654``). The reference clamps the network output to u ≥ 0
-(``heston_dnnpde.py:568``); here the default is a PLAIN output — the clamp's
-kink was measured to bias the trained price +5…+6% high and its u≡0 state
-absorbs ~1/3 of long anneals (see ``clamp_output``). Reference semantics
-remain available via ``clamp_output=True, clamp_smoothing="hard"``.
+(``heston_dnnpde.py:568``); the clamp's kink was measured to bias the
+trained price +5…+6% high and its u≡0 state absorbs ~1/3 of long anneals
+(see ``clamp_output``). The DEFAULT here (since round 4) is the BS
+control-variate head ``clamp_smoothing="bs"`` — anchor-point parity with
+the plain output plus production-grade greeks (Γ rel-L2 ≈ 0.02 with the
+local objective; ARCHITECTURE.md §6d). The round-3 plain output stays
+available via ``clamp_output=False``; reference semantics via
+``clamp_output=True, clamp_smoothing="hard"``.
 """
 
 from __future__ import annotations
@@ -51,14 +55,22 @@ class HestonPDE(PDEProblem):
     payoff_type: str = "discontinuous"  # or "continuous" (sigmoid-smoothed)
     smoothing_alpha: float = 10.0
     clamp_bound: float = 100.0
-    # Output parametrization — DEFAULT: plain net output (no clamp, no
-    # anchor). The round-3 measured story (BENCH_REPORT_r3.jsonl
-    # "heston_output_modes", all under the corrected Cholesky diffusion,
-    # 20k anneal, M=128, 3 seeds each):
+    # Output parametrization — DEFAULT (round 4): the BS CONTROL-VARIATE
+    # head, clamp_output=True + clamp_smoothing="bs". Promoted per the
+    # round-4 measurements (results_r4/, VERDICT r3 #3): at the anchor it
+    # matches the plain output (9/9 acceptance runs, 0 collapses, rels
+    # +0.21…+0.43%) and it is the ONLY mode with production-grade greeks —
+    # Γ rel-L2 0.02 at t ∈ {0, 0.5} with the local objective (plain: 0.25
+    # at t=0, 0.99–2.04 at t=0.5). Its round-3 blocker (337 s first
+    # compile) fell to ~13 s with the tanh-CDF base (``bs_cdf``).
+    #
+    # The full round-2/3 shoot-out that ruled the other modes (all under
+    # the corrected Cholesky diffusion, 20k anneal, M=128, 3 seeds each):
     #
     # - plain (clamp_output=False): +0.49%/+0.10%/+0.12% vs the Heston
     #   closed form, 0 collapses (0/8 across rounds 2–3). Gradients never
-    #   vanish, so there is no absorbing state to collapse into. WINNER.
+    #   vanish, so there is no absorbing state to collapse into. The
+    #   round-3 default; still the measured-parity control.
     # - "hard" max(u, 0) (reference semantics, heston_dnnpde.py:568):
     #   +5.3…+6.3% biased HIGH, and u ≡ 0 is an ABSORBING state (zero
     #   gradient below the clamp) — ~1/3 of round-2/3 long anneals died
@@ -78,14 +90,24 @@ class HestonPDE(PDEProblem):
     #   "+4.3% at N=50" reading was this bias partially cancelled by the
     #   reference-diffusion model pricing −3.6% below the Heston closed
     #   form (see ``diffusion``).
-    clamp_output: bool = False
+    clamp_output: bool = True
     # Output transform when clamp_output=True — see the measured tradeoffs
-    # above. "anchor" remains the safest positivity-enforcing mode
-    # (collapse impossible); "hard" is reference parity; "bs" is the
-    # round-3 BS CONTROL-VARIATE parametrization (not a clamp): u =
-    # BS(S, K, τ, √v) + √(τ/T)·raw — smooth for τ > 0, terminal condition
-    # exact, the Γ-peak carried analytically (see transform_u).
-    clamp_smoothing: str = "anchor"  # "hard" | "softplus" | "anchor" | "bs"
+    # above. "bs" (DEFAULT since round 4) is the BS CONTROL-VARIATE
+    # parametrization (not a clamp): u = BS(S, K, τ, √v) + √(τ/T)·raw —
+    # smooth for τ > 0, terminal condition exact, the Γ-peak carried
+    # analytically (see transform_u). "anchor" remains the safest
+    # positivity-ENFORCING mode (collapse impossible); "hard" is
+    # reference parity.
+    clamp_smoothing: str = "bs"  # "hard" | "softplus" | "anchor" | "bs"
+    # Normal-CDF implementation inside the "bs" control-variate base:
+    # "tanh" (default) is the GELU-style smooth approximation (≈3e-4 CDF
+    # accuracy → ≤2e-4 base-price error, absorbed by the net) whose
+    # 20k-iter training program compiles in ~13 s on the v5e where the
+    # exact erf form takes ~143 s (round-4 measurement — the blocker that
+    # kept bs-mode off the default in round 3, VERDICT r3 #3/weak #7).
+    # "erf" keeps the exact base. Training, serving and greeks all read
+    # this same transform (transform_u is the single source of truth).
+    bs_cdf: str = "tanh"  # "tanh" | "erf"
     smooth_beta: float = 50.0
     # Anchor-head init prior: softplus(anchor_shift) is the head's output
     # scale at a zero-init net; −2 → 0.127, matching the flagship's ATM
@@ -131,7 +153,18 @@ class HestonPDE(PDEProblem):
 
     @property
     def clamp_u(self) -> Optional[float]:
-        return 0.0 if self.clamp_output else None
+        # "bs" is a control-variate head, not a clamp: u can take any value
+        # and there is no absorbing level set, so the collapse machinery
+        # (Trainer._collapsed_y0) must not treat u≈0 as pinned.
+        if self.clamp_output and self.clamp_smoothing != "bs":
+            return 0.0
+        return None
+
+    @property
+    def has_output_transform(self) -> bool:
+        # clamp_u is None for the "bs" head (no clamp), but the transform
+        # is still non-identity — fused_net_u and serving must know.
+        return self.clamp_output
 
     @property
     def clamp_mode(self) -> str:
@@ -176,7 +209,9 @@ class HestonPDE(PDEProblem):
             S, v = X[..., 0:1], X[..., 1:2]
             tau = jnp.clip(self.T - t, 0.0, None)
             sig = jnp.sqrt(jnp.clip(v, 1e-8, None))
-            base = black_scholes_call(S, self.strike, tau, self.r, sig)
+            base = black_scholes_call(
+                S, self.strike, tau, self.r, sig, cdf=self.bs_cdf
+            )
             return base + jnp.sqrt(tau / self.T) * u
         head = jax.nn.softplus(u + self.anchor_shift)
         if self.anchor_time_scale == "sqrt":

@@ -663,6 +663,107 @@ class Trainer:
             wall_time=time.time() - start,
         )
 
+    def polish(
+        self,
+        n_iter: int = 400,
+        learning_rate: Optional[float] = None,
+        M: Optional[int] = None,
+        seed: Optional[int] = None,
+        from_ema: bool = False,
+        antithetic: Optional[bool] = None,
+    ) -> np.ndarray:
+        """Deterministic LBFGS polish phase (round-4, VERDICT r3 #7).
+
+        Stochastic-minibatch LBFGS cannot settle: each step re-solves its
+        quasi-Newton model on a FRESH minibatch, so the iterates orbit the
+        optimum inside the gradient-noise ball (measured 6.9–9.0% tail-mean
+        on the 1D call; ``tests/test_convergence.py``). This phase freezes
+        ONE batch — (dW, X0) drawn once, antithetic-paired when the trainer
+        is — and runs ``n_iter`` LBFGS steps with zoom linesearch on that
+        now-deterministic objective, all inside one jitted ``lax.scan``.
+
+        The frozen batch is ANTITHETIC by default (independent of the
+        trainer's training-time setting): with a frozen batch the MC error
+        of the batch itself floors the reachable accuracy — measured on
+        the 1D call at M=8192: plain batch floors Y0 at ~1.5%, antithetic
+        pairs reach 0.1% vs the closed form. Prefer a large ``M`` here
+        (the phase runs once; the default uses the trainer's M but 8192+
+        is recommended on TPU).
+
+        Updates ``self.params`` in place (the EMA shadow is left untouched
+        — after a polish, read the raw params). ``from_ema=True`` starts
+        the polish from the EMA shadow instead of the last iterate.
+        ``learning_rate=None`` (default) uses optax.lbfgs' zoom linesearch
+        step sizes unscaled. Returns the (n_iter,) per-step losses.
+        """
+        import optax as _optax
+
+        M = int(M or self.M)
+        anti = True if antithetic is None else bool(antithetic)
+        if anti and M % 2:
+            M += 1
+        problem = self.problem
+        N, D, Dw, T = self.N, problem.dim, problem.noise_dim, problem.T
+        if seed is None:
+            self.key, key = jax.random.split(self.key)
+        else:
+            key = jax.random.PRNGKey(seed)
+        kw, kn, kx = jax.random.split(key, 3)
+        dW = brownian_increments(
+            kw, M, N, Dw, T / N, self.chol, self.dtype, antithetic=anti,
+        )
+        dWs = jnp.swapaxes(dW, 0, 1)
+        ts = jnp.swapaxes(time_grid(M, N, T, self.dtype), 0, 1)
+        if self.x0_sampler is not None:
+            if anti:
+                X0h = self.x0_sampler(kx, M // 2).astype(self.dtype)
+                X0 = jnp.concatenate([X0h, X0h], axis=0)
+            else:
+                X0 = self.x0_sampler(kx, M).astype(self.dtype)
+        else:
+            X0 = jnp.broadcast_to(jnp.asarray(problem.x0, self.dtype), (M, D))
+        if self._shard_batch is not None:
+            dWs = jax.lax.with_sharding_constraint(
+                dWs, NamedSharding(self.mesh, P(None, "dp"))
+            )
+
+        tx = build_optimizer("LBFGS", learning_rate)
+        value_fn = lambda p: self.loss_fn(p, ts, dWs, X0, kn).loss
+
+        @jax.jit
+        def run(params):
+            opt_state = tx.init(params)
+
+            def body(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(value_fn)(params)
+                updates, opt_state = tx.update(
+                    grads, opt_state, params,
+                    value=loss, grad=grads, value_fn=value_fn,
+                )
+                params = _optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, _), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n_iter
+            )
+            return params, losses
+
+        start = self.ema_params if from_ema else self.params
+        self.params, losses = run(jax.tree.map(jnp.array, start))
+        losses = np.asarray(losses)
+        it = self._next_it
+        self._next_it = it + n_iter
+        self.training_loss.append(float(losses[-1]))
+        self.iteration.append(it)
+        u, _ = self.net_u(
+            self.params,
+            jnp.zeros((1, 1), self.dtype),
+            jnp.asarray(problem.x0, self.dtype)[None, :],
+        )
+        self.y0_log.append(float(u[0, 0]))
+        return losses
+
     def _collapsed_y0(self, y0: float) -> bool:
         """Degenerate-trajectory predicate: Y0 pinned at the problem's
         output clamp (the absorbing state) or non-finite."""

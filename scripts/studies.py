@@ -39,6 +39,10 @@ def _exact(p):
 
 
 def _emit(**row):
+    # Every row self-describes its semantics (VERDICT r3 weak #8): "default"
+    # = measured at the framework's current shipping defaults; studies that
+    # deliberately run legacy/control configurations tag themselves.
+    row.setdefault("semantics", "default")
     print(json.dumps(row), flush=True)
 
 
@@ -355,7 +359,7 @@ def heston_discrete_value():
     )
     from dnnpde_tpu.pde import HestonPDE
 
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=False)  # r3 protocol: plain output
     cf = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
@@ -401,7 +405,7 @@ def heston_converged(budget: int = 80000, Ns=(25, 50, 100), seeds=(0, 1, 2),
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=False)  # r3 protocol: plain output
     cf = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
@@ -446,14 +450,14 @@ def heston_output_modes():
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p0 = HestonPDE()
+    p0 = HestonPDE(clamp_output=False)  # r3 protocol: plain output
     cf = float(heston_call_price(
         p0.S0, p0.v0,
         HestonParams(K=p0.strike, r=p0.r, T=p0.T, kappa=p0.kappa,
                      theta=p0.theta, sigma=p0.sigma_v, rho=p0.rho,
                      v0=p0.v0)))
     modes = {
-        "plain": HestonPDE(),
+        "plain": HestonPDE(clamp_output=False),
         "hard": HestonPDE(clamp_output=True, clamp_smoothing="hard"),
         "softplus": HestonPDE(clamp_output=True, clamp_smoothing="softplus"),
         "anchor": HestonPDE(clamp_output=True),
@@ -490,7 +494,7 @@ def heston_default_matrix():
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    p = HestonPDE(clamp_output=False)  # r3 protocol: plain output
     cf = float(heston_call_price(
         p.S0, p.v0,
         HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
@@ -548,7 +552,7 @@ def heston_trained_greeks(seed: int = 0, x0_scale: float = 0.0,
     from dnnpde_tpu.sim import lognormal_x0
     from dnnpde_tpu.train import Trainer
 
-    p = (HestonPDE() if output_mode == "plain"
+    p = (HestonPDE(clamp_output=False) if output_mode == "plain"
          else HestonPDE(clamp_output=True, clamp_smoothing=output_mode))
     hp = HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
                       sigma=p.sigma_v, rho=p.rho, v0=p.v0)
@@ -710,7 +714,7 @@ def heston_iv_smile(seed: int = 0, x0_scale: float = 0.4, M: int = 256,
     from dnnpde_tpu.sim import lognormal_x0
     from dnnpde_tpu.train import Trainer
 
-    p = (HestonPDE() if output_mode == "plain"
+    p = (HestonPDE(clamp_output=False) if output_mode == "plain"
          else HestonPDE(clamp_output=True, clamp_smoothing=output_mode))
     tr = Trainer(p, M=M, N=N, layers=[3, width, width, width, width, 1],
                  mode="FC", activation="Sine", seed=seed,

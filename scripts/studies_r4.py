@@ -50,13 +50,14 @@ def _emit(**row):
 def _train_surface(objective: str, weighted: bool, seed: int = 0,
                    M: int = PROTO["M"], width: int = PROTO["width"],
                    N: int = PROTO["N"], x0_scale: float = PROTO["x0_scale"],
-                   budget: int = BUDGET):
+                   budget: int = BUDGET, output_mode: str = "plain"):
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.sim import lognormal_x0
     from dnnpde_tpu.solver import iv_space_weights
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE()
+    p = (HestonPDE(clamp_output=False) if output_mode == "plain"
+         else HestonPDE(clamp_output=True, clamp_smoothing=output_mode))
     kw = {}
     if weighted:
         kw["path_weight_fn"] = iv_space_weights(
@@ -215,9 +216,253 @@ def smile_winner_bigcfg(objective: str = "local", seeds=(0, 1, 2)):
               wall_time_s=round(wall, 1))
 
 
+def combo_matrix():
+    """(objective ∈ {global, local}) × (output ∈ {plain, bs-tanh}) on the
+    smile protocol — the round-4 default-selection matrix. The r3 story:
+    plain+global floors at ~3.5 volpts; r4 found local+plain reaches ~1.0
+    but with wiggly Γ (rel-L2 1.45). Hypothesis under test: bs carries Γ
+    analytically, so local+bs should keep the smile win AND shippable Γ."""
+    from dnnpde_tpu.pde import HestonPDE
+
+    p0 = HestonPDE()
+    cf_iv = _iv(_cf_smile(p0), p0)
+    atm = np.argmin(np.abs(STRIKES - 1.0))
+    for objective in ("global", "local"):
+        for mode in ("bs",):
+            p, tr, wall = _train_surface(objective, weighted=False,
+                                         output_mode=mode)
+            model_iv = _iv(_model_smile(tr, p), p)
+            err = model_iv - cf_iv
+            _emit(study="r4_smile_combo", objective=objective,
+                  output_mode=mode, seed=0,
+                  **{k: PROTO[k] for k in ("M", "N", "width", "x0_scale")},
+                  iters=BUDGET,
+                  mean_abs_iv_err_volpts=round(
+                      float(np.mean(np.abs(err))) * 100, 3),
+                  max_abs_iv_err_volpts=round(
+                      float(np.max(np.abs(err))) * 100, 3),
+                  atm_iv_err_volpts=round(float(err[atm]) * 100, 3),
+                  wall_time_s=round(wall, 1))
+
+
+def bs_anchor_matrix():
+    """Point-solver acceptance matrix for the bs-tanh output mode under the
+    default global objective — the VERDICT r3 #3 gate: M ∈ {128, 256, 512}
+    × 3 seeds at the 20k anneal, EMA read; 0 collapses, median ≤ 2%,
+    first-chunk compile < 60 s."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonPDE(clamp_output=True, clamp_smoothing="bs")
+    cf = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    rels, collapses, first_compiles = [], 0, []
+    for M in (128, 256, 512):
+        tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine", seed=0,
+                     ema_decay=0.999)
+        for seed in (0, 1, 2):
+            tr.reset(seed)
+            t0 = _t.perf_counter()
+            first = seed == 0
+            for it, lr in ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)):
+                if first:
+                    c0 = _t.perf_counter()
+                tr.train(2000 if first else it, lr, log_every=2000,
+                         verbose=False)
+                if first:
+                    first_compiles.append(round(_t.perf_counter() - c0, 1))
+                    first = False
+                    tr.train(it - 2000, lr, log_every=2000, verbose=False)
+            u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)),
+                            jnp.asarray(p.x0)[None, :])
+            ey = float(u[0, 0])
+            collapsed = bool(abs(ey) < 1e-3)
+            collapses += collapsed
+            rels.append(abs(ey - cf) / cf)
+            _emit(study="r4_bs_anchor_matrix", M=M, seed=seed, N=50,
+                  iters=20000, ema_y0=round(ey, 6), oracle_cf=round(cf, 6),
+                  signed_rel=round((ey - cf) / cf, 5), collapsed=collapsed,
+                  wall_time_s=round(_t.perf_counter() - t0, 1))
+    _emit(study="r4_bs_anchor_matrix_summary", runs=len(rels),
+          collapses=collapses,
+          median_rel=round(float(np.median(rels)), 5),
+          max_rel=round(float(np.max(rels)), 5),
+          first_chunk_walls_s=first_compiles,
+          target="0 collapses, median<=2%, first compile<60s")
+
+
+def bigcfg_local_bs(seeds=(0, 1, 2)):
+    """The final gate config: local objective + bs-tanh output at the
+    round-3 best geometry (M=1024, width=512, x0_scale=0.3), 3 seeds."""
+    from dnnpde_tpu.pde import HestonPDE
+
+    p0 = HestonPDE()
+    cf_iv = _iv(_cf_smile(p0), p0)
+    atm = np.argmin(np.abs(STRIKES - 1.0))
+    for seed in seeds:
+        p, tr, wall = _train_surface(
+            "local", weighted=False, seed=seed, M=1024, width=512,
+            x0_scale=0.3, output_mode="bs",
+        )
+        model_iv = _iv(_model_smile(tr, p), p)
+        err = model_iv - cf_iv
+        _emit(study="r4_smile_bigcfg_local_bs", seed=seed,
+              M=1024, width=512, x0_scale=0.3, iters=BUDGET,
+              mean_abs_iv_err_volpts=round(
+                  float(np.mean(np.abs(err))) * 100, 3),
+              max_abs_iv_err_volpts=round(float(np.max(np.abs(err))) * 100, 3),
+              atm_iv_err_volpts=round(float(err[atm]) * 100, 3),
+              wall_time_s=round(wall, 1))
+
+
+def replica_matrix():
+    """VERDICT r3 #4 acceptance: the 9-run Heston acceptance matrix
+    (M ∈ {128, 256, 512} × 3 seeds, 20k anneal, EMA read) reproduced as
+    THREE vmapped programs (one per M, K=3 replicas each) via
+    ``train_replicas``. Wall time is compared against the serial
+    ``r4_bs_anchor_matrix`` rows measured in the same session (identical
+    protocol and problem). Target: aggregate wall ≤ 40% of serial."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.train import replica_values_at, train_replicas
+
+    p = HestonPDE(clamp_output=True, clamp_smoothing="bs")
+    cf = float(heston_call_price(
+        p.S0, p.v0,
+        HestonParams(K=p.strike, r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                     sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+    layers = [3, 256, 256, 256, 256, 1]
+    total_wall = 0.0
+    rels, collapses = [], 0
+    for M in (128, 256, 512):
+        res = train_replicas(
+            p, seeds=(0, 1, 2),
+            phases=[(10000, 1e-3), (5000, 1e-4), (5000, 1e-5)],
+            M=M, N=50, layers=layers, ema_decay=0.999, log_every=2000,
+        )
+        u = replica_values_at(p, res, layers=layers)
+        total_wall += res.wall_time
+        for i, seed in enumerate(res.seeds):
+            ey = float(u[i, 0])
+            collapsed = bool(abs(ey) < 1e-3)
+            collapses += collapsed
+            rels.append(abs(ey - cf) / cf)
+            _emit(study="r4_replica_matrix", M=M, seed=seed, N=50,
+                  iters=20000, ema_y0=round(ey, 6), oracle_cf=round(cf, 6),
+                  signed_rel=round((ey - cf) / cf, 5), collapsed=collapsed)
+        _emit(study="r4_replica_matrix_wall", M=M, n_replicas=3,
+              wall_time_s=round(res.wall_time, 1),
+              compile_time_s=round(res.compile_time, 1))
+    _emit(study="r4_replica_matrix_summary", runs=len(rels),
+          collapses=collapses, median_rel=round(float(np.median(rels)), 5),
+          max_rel=round(float(np.max(rels)), 5),
+          total_wall_s=round(total_wall, 1),
+          target="9 runs in <=40% of the serial r4_bs_anchor_matrix wall")
+
+
+def dim1000_lr_width():
+    """VERDICT r3 #5: lr/width scaling on D=1000 BSB (round-3 protocol:
+    M=100, N=25, 20k 3-phase anneal, EMA-tail read). Rows sweep width ×
+    lr-multiplier, with lr ∝ 1/width as the candidate rule (1.0 at
+    width 512). Done = some width-1024 row ≤ the width-512 control."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import bsb_exact_solution
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.train import Trainer
+
+    D, M, N = 1000, 100, 25
+    p = BlackScholesBarenblatt(D=D)
+    exact = float(bsb_exact_solution(
+        0.0, np.asarray(p.x0)[None, :], T=p.T)[0, 0])
+    for width, mult in (
+        (512, 1.0),      # r3 control: 2.07%
+        (1024, 1.0),     # r3 regression row: 3.9%
+        (1024, 0.5),     # lr ∝ 1/width
+        (1024, 0.25),
+        (256, 2.0),      # the rule extrapolated the other way
+        (256, 1.0),
+        # is it the width or just the lower lr? width-512 at the same
+        # reduced lrs separates the two explanations
+        (512, 0.5),
+        (512, 0.25),
+    ):
+        lr0 = 1e-3 * mult
+        tr = Trainer(p, M=M, N=N,
+                     layers=[D + 1, width, width, width, width, 1],
+                     mode="FC", activation="Sine", seed=0, ema_decay=0.999)
+        t0 = time.perf_counter()
+        for it, lr in ((10000, lr0), (5000, lr0 / 10), (5000, lr0 / 100)):
+            tr.train(it, lr, log_every=1000, verbose=False)
+        u, _ = tr.net_u(
+            tr.ema_params,
+            jnp.zeros((1, 1)),
+            jnp.asarray(p.x0)[None, :].astype(jnp.float32),
+        )
+        ey = float(u[0, 0])
+        _emit(study="r4_dim1000_lr_width", D=D, width=width,
+              lr_mult=mult, lr0=lr0, N=N, M=M, iters=20000,
+              ema_y0=round(ey, 4), exact_y0=round(exact, 4),
+              rel_error=round(abs(ey - exact) / exact, 5),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def basket_relu_median():
+    """VERDICT r3 #6: the D=10 NAIS-Net ReLU seed-noise row under a
+    5-seed-median protocol (train_replicas: one program per N) at the
+    basket-matrix budget. Done = median |rel| ≤ 2% at N ∈ {50, 100}, or
+    the row is deprecated with this data."""
+    import jax
+
+    from dnnpde_tpu.numerics import basket_call_mc
+    from dnnpde_tpu.pde import BasketCallOption
+    from dnnpde_tpu.train import replica_values_at, train_replicas
+
+    p = BasketCallOption(D=10)
+    oracle, se = basket_call_mc(
+        jax.random.PRNGKey(0), np.asarray(p.x0), p.strike, p.T, p.r,
+        p.sigma_bar, num_paths=2_000_000, payoff="mean",
+    )
+    oracle = float(oracle)
+    layers = [11, 256, 256, 256, 256, 1]
+    for N in (50, 100):
+        res = train_replicas(
+            p, seeds=(0, 1, 2, 3, 4),
+            phases=[(10000, 1e-3), (5000, 1e-4), (5000, 1e-5)],
+            M=100, N=N, layers=layers, mode="Naisnet", activation="ReLU",
+            ema_decay=0.999, log_every=2000,
+        )
+        u = replica_values_at(p, res, layers=layers, mode="Naisnet",
+                              activation="ReLU")
+        vals = u[:, 0]
+        rels = (vals - oracle) / oracle
+        med = float(np.median(vals))
+        _emit(study="r4_basket_relu_median", D=10, N=N, seeds=list(res.seeds),
+              oracle=round(oracle, 6), oracle_se=round(float(se), 6),
+              per_seed_rel=[round(float(r), 5) for r in rels],
+              median_y0=round(med, 6),
+              median_rel=round(abs(med - oracle) / oracle, 5),
+              wall_time_s=round(res.wall_time, 1))
+
+
 STUDIES = {
     "smile_objectives": smile_objectives,
     "smile_winner_bigcfg": smile_winner_bigcfg,
+    "combo_matrix": combo_matrix,
+    "bs_anchor_matrix": bs_anchor_matrix,
+    "bigcfg_local_bs": bigcfg_local_bs,
+    "replica_matrix": replica_matrix,
+    "dim1000_lr_width": dim1000_lr_width,
+    "basket_relu_median": basket_relu_median,
 }
 
 

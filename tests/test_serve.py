@@ -124,7 +124,7 @@ def test_heston_export_parity_with_greeks(tmp_path):
     from dnnpde_tpu.pde import HestonPDE
     from dnnpde_tpu.train import Trainer
 
-    p = HestonPDE(clamp_output=True)  # anchored output transform
+    p = HestonPDE(clamp_output=True, clamp_smoothing="anchor")  # anchored output transform
     trainer = Trainer(p, M=8, N=4, layers=[3, 16, 16, 1], mode="FC",
                       activation="Sine", seed=0)
     trainer.train(4, 1e-3, log_every=2, verbose=False)

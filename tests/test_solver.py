@@ -56,11 +56,11 @@ def _reference_loop_loss(problem, net, params, t, W, X0):
 @pytest.mark.parametrize("problem", [
     BlackScholesBarenblatt(D=5),
     CallOption1D(D=1),
-    HestonPDE(),  # default: plain output, Cholesky diffusion
+    HestonPDE(),  # default since r4: BS control-variate head, Cholesky
+    HestonPDE(clamp_output=False),  # r3 plain output
     HestonPDE(diffusion="reference"),  # reference sigma matrix (bug #4 parity)
-    HestonPDE(clamp_output=True),  # payoff-anchored output parametrization
+    HestonPDE(clamp_output=True, clamp_smoothing="anchor"),  # payoff anchor
     HestonPDE(clamp_output=True, clamp_smoothing="hard"),  # reference max(u, 0)
-    HestonPDE(clamp_output=True, clamp_smoothing="bs"),  # BS control variate
 ])
 def test_scan_matches_reference_loop(problem, rng_key):
     net, params = _setup(problem)
@@ -137,9 +137,10 @@ def test_heston_clamp_output_opt_out(rng_key):
     and gradients do NOT vanish in the region where the clamped problem's
     u≡0 absorbing state lives (the measured ~1/3 collapse mode of long
     anneals — see heston.py docstring)."""
-    p_off = HestonPDE()  # plain output is the default since round 3
+    p_off = HestonPDE(clamp_output=False)  # r3 plain output
     assert p_off.clamp_u is None
-    assert HestonPDE(clamp_output=True).clamp_u == 0.0
+    assert HestonPDE().clamp_u is None  # r4 bs default: a head, not a clamp
+    assert HestonPDE(clamp_output=True, clamp_smoothing="anchor").clamp_u == 0.0
     net, params = _setup(p_off)
     net_u = make_net_u(net, p_off.clamp_u)
     leaves, treedef = jax.tree_util.tree_flatten(params)
@@ -320,7 +321,7 @@ def test_anchor_terminal_condition_exact():
     """At t=T the anchor head vanishes (√τ factor), so u(T,·) = floor(T,·)
     = g EXACTLY for ANY raw net output — both terminal penalties are zero by
     construction."""
-    p = HestonPDE(clamp_output=True)  # anchor is the default CLAMPED mode
+    p = HestonPDE(clamp_output=True, clamp_smoothing="anchor")
     assert p.clamp_mode == "anchor"
     S = jnp.linspace(0.3, 2.0, 9)[:, None]
     X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
@@ -331,7 +332,7 @@ def test_anchor_terminal_condition_exact():
 
 
 def test_anchor_floor_is_call_lower_bound():
-    p = HestonPDE(clamp_output=True)
+    p = HestonPDE(clamp_output=True, clamp_smoothing="anchor")
     t = jnp.full((5, 1), 0.25)
     S = jnp.asarray([0.5, 0.9, 1.0, 1.2, 2.0])[:, None]
     X = jnp.concatenate([S, jnp.full_like(S, 0.2)], axis=1)
@@ -349,7 +350,7 @@ def test_anchor_no_absorbing_state(rng_key):
     """The collapse mode (u pinned at 0 at the money with zero gradient) is
     structurally impossible: at (S0, v0, t=0) u >= floor > 0, and ∂u/∂raw =
     √τ·sigmoid(raw+shift) > 0 for t < T — gradients NEVER all vanish."""
-    p = HestonPDE(clamp_output=True)
+    p = HestonPDE(clamp_output=True, clamp_smoothing="anchor")
     net, params = _setup(p)
     net_u = make_net_u(net, transform=p.transform_u)
     # drive the raw output far negative — the hard clamp's collapse regime
@@ -373,7 +374,7 @@ def test_anchor_no_absorbing_state(rng_key):
 def test_anchor_z_includes_floor_delta():
     """Z_S through the anchor = ∂floor/∂S + head term: deep ITM with a
     saturated head, delta → 1 (the floor's delta), not 0."""
-    p = HestonPDE(clamp_output=True)
+    p = HestonPDE(clamp_output=True, clamp_smoothing="anchor")
     net, params = _setup(p)
     net_u = make_net_u(net, transform=p.transform_u)
     leaves, treedef = jax.tree_util.tree_flatten(params)
@@ -458,17 +459,25 @@ def test_bs_anchor_base_is_bs_price():
     variate itself)."""
     from dnnpde_tpu.numerics import black_scholes_call
 
-    p = HestonPDE(clamp_output=True, clamp_smoothing="bs")
     t = jnp.full((3, 1), 0.25)
     S = jnp.asarray([0.8, 1.0, 1.3])[:, None]
     v = jnp.asarray([0.1, 0.2, 0.3])[:, None]
     X = jnp.concatenate([S, v], axis=1)
-    u = p.transform_u(t, X, jnp.zeros((3, 1)))
-    tau = p.T - 0.25
+    tau = p0.T - 0.25 if (p0 := HestonPDE(bs_cdf="erf")) else None
+    # exact-CDF variant: base == erf BS price to float tolerance
+    u = p0.transform_u(t, X, jnp.zeros((3, 1)))
     for i in range(3):
-        bs = float(black_scholes_call(float(S[i, 0]), p.strike, tau, p.r,
+        bs = float(black_scholes_call(float(S[i, 0]), p0.strike, tau, p0.r,
                                       float(jnp.sqrt(v[i, 0]))))
         assert float(u[i, 0]) == pytest.approx(bs, rel=1e-5)
+    # default tanh-CDF variant: within the documented ~3e-4 CDF accuracy
+    # (the compile-time trade, numerics.black_scholes._cdf_tanh)
+    p1 = HestonPDE()  # bs + tanh is the r4 default
+    u1 = p1.transform_u(t, X, jnp.zeros((3, 1)))
+    for i in range(3):
+        bs = float(black_scholes_call(float(S[i, 0]), p1.strike, tau, p1.r,
+                                      float(jnp.sqrt(v[i, 0]))))
+        assert abs(float(u1[i, 0]) - bs) < 6e-4
 
 
 # --------------------------------------------------- local (backward) objective

@@ -750,7 +750,15 @@ class Trainer:
             return params, losses
 
         start = self.ema_params if from_ema else self.params
-        self.params, losses = run(jax.tree.map(jnp.array, start))
+        # Full-precision matmuls for the quasi-Newton phase: the TPU's
+        # default f32 dots run through bf16 MXU passes, and the resulting
+        # gradient noise corrupts LBFGS's curvature pairs/linesearch —
+        # measured on v5e: the identical 1500-step polish stalls (loss
+        # 203→149, Y0 degrades) at default precision where the CPU run
+        # converges (159→22, Y0 to ~1%). The phase runs once; exactness
+        # beats MXU speed here.
+        with jax.default_matmul_precision("highest"):
+            self.params, losses = run(jax.tree.map(jnp.array, start))
         losses = np.asarray(losses)
         it = self._next_it
         self._next_it = it + n_iter

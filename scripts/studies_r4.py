@@ -466,6 +466,97 @@ STUDIES = {
 }
 
 
+
+
+
+def local_cross_problem():
+    """Is the local objective a general-purpose alternative or a
+    surface-mode specialist? Point-mode (broadcast x0) comparison on the
+    zoo at the 20k anneal + EMA read, global vs local, including the
+    Z-coupled drivers (BSB's r(Y−XZ), HJB's ‖Z‖²) the Heston study never
+    exercises."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import (
+        basket_call_mc, black_scholes_call, bsb_exact_solution, hjb_exact_mc,
+    )
+    from dnnpde_tpu.pde import (
+        BasketCallOption, BlackScholesBarenblatt, CallOption1D,
+        HamiltonJacobiBellman,
+    )
+    from dnnpde_tpu.train import Trainer
+
+    bsb = BlackScholesBarenblatt(D=100)
+    call = CallOption1D(D=1)
+    basket = BasketCallOption(D=10)
+    hjb = HamiltonJacobiBellman(D=100)
+    oracles = {
+        "bsb100": (bsb, float(bsb_exact_solution(
+            0.0, np.asarray(bsb.x0)[None, :], T=bsb.T)[0, 0])),
+        "call1d": (call, float(black_scholes_call(
+            1.0, call.K, call.T, call.r, call.sigma_bar))),
+        "basket10": (basket, float(basket_call_mc(
+            jax.random.PRNGKey(0), np.asarray(basket.x0), basket.strike,
+            basket.T, basket.r, basket.sigma_bar, num_paths=2_000_000,
+            payoff="mean")[0])),
+        "hjb100": (hjb, float(hjb_exact_mc(
+            jax.random.PRNGKey(0), 0.0, np.asarray(hjb.x0),
+            num_samples=100_000))),
+    }
+    for name, (p, oracle) in oracles.items():
+        M = 128 if name == "hjb100" else 100
+        for objective in ("global", "local"):
+            tr = Trainer(p, M=M, N=50, mode="FC", activation="Sine",
+                         seed=0, ema_decay=0.999, objective=objective)
+            t0 = time.perf_counter()
+            for it, lr in ((10000, 1e-3), (5000, 1e-4), (5000, 1e-5)):
+                tr.train(it, lr, log_every=2000, verbose=False)
+            u, _ = tr.net_u(
+                tr.ema_params, jnp.zeros((1, 1)),
+                jnp.asarray(p.x0, jnp.float32)[None, :],
+            )
+            ey = float(u[0, 0])
+            _emit(study="r4_local_cross_problem", problem=name,
+                  objective=objective, M=M, N=50, iters=20000,
+                  ema_y0=round(ey, 6), oracle=round(oracle, 6),
+                  rel_error=round(abs(ey - oracle) / abs(oracle), 5),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+def polish_gate(seeds=(0, 1, 2)):
+    """VERDICT r3 #7 acceptance on TPU: warm two-phase Adam start, then the
+    deterministic frozen-batch LBFGS polish (M=8192 antithetic, 1500
+    steps — CPU probes showed 400 steps underconverge on some seeds:
+    seed 1 landed 6.1% at 400 and 1.18% at 1500). Gate: rel ≤ 5% per
+    seed (the round-2/3 waiver was 12% tail-mean)."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import black_scholes_call
+    from dnnpde_tpu.pde import CallOption1D
+    from dnnpde_tpu.train import Trainer
+
+    p = CallOption1D(D=1)
+    bs = float(black_scholes_call(1.0, p.K, p.T, p.r, p.sigma_bar))
+    for seed in seeds:
+        tr = Trainer(p, M=256, N=10, layers=[2, 32, 32, 32, 32, 1],
+                     seed=seed)
+        t0 = time.perf_counter()
+        tr.train(800, 1e-3, "Adam", log_every=400, verbose=False)
+        tr.train(200, 1e-4, "Adam", log_every=200, verbose=False)
+        warm_u = float(tr.net_u(
+            tr.params, jnp.zeros((1, 1)),
+            jnp.asarray([[1.0]], jnp.float32))[0][0, 0])
+        losses = tr.polish(n_iter=1500, M=8192, seed=123)
+        _emit(study="r4_polish_gate", seed=seed, warm_rel=round(
+                  abs(warm_u - bs) / bs, 5),
+              polished_rel=round(abs(tr.y0_log[-1] - bs) / bs, 5),
+              lbfgs_loss_first=round(float(losses[0]), 3),
+              lbfgs_loss_last=round(float(losses[-1]), 3),
+              oracle_bs=round(bs, 6),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args:
@@ -474,5 +565,8 @@ if __name__ == "__main__":
     name, rest = args[0], args[1:]
     if name == "smile_winner_bigcfg" and rest:
         smile_winner_bigcfg(rest[0])
-    else:
+    elif name in STUDIES:
         STUDIES[name]()
+    else:
+        # studies defined below the dict (appended later) resolve lazily
+        globals()[name]()

@@ -5,8 +5,10 @@ import numpy as np
 from dnnpde_tpu.bench import bench_bsb_100d, bench_call_1d
 from dnnpde_tpu.bench.harness import _run
 from dnnpde_tpu.pde import BlackScholesBarenblatt
+import pytest
 
 
+@pytest.mark.slow  # full-budget harness integration; results_r4/harness.log evidences
 def test_run_accepts_phase_lists():
     p = BlackScholesBarenblatt(D=3)
     row = _run(
@@ -18,6 +20,7 @@ def test_run_accepts_phase_lists():
     assert row.iters_per_sec > 0
 
 
+@pytest.mark.slow
 def test_run_legacy_two_phase_form():
     p = BlackScholesBarenblatt(D=3)
     row = _run(

@@ -31,10 +31,18 @@ def test_make_problem(name, dim):
 
 def test_heston_cli_flags():
     """--heston-diffusion / --heston-output map onto HestonPDE fields
-    (round-3 defaults: cholesky + plain; reference parity reachable)."""
+    (round-4 defaults: cholesky + bs control-variate head; round-3 plain
+    and reference parity both reachable)."""
     args = build_parser().parse_args(["--problem", "heston"])
     p = make_problem(args)
-    assert p.diffusion == "cholesky" and not p.clamp_output
+    assert p.diffusion == "cholesky"
+    assert p.clamp_output and p.clamp_smoothing == "bs"
+
+    args = build_parser().parse_args(
+        ["--problem", "heston", "--heston-output", "plain"]
+    )
+    p = make_problem(args)
+    assert not p.clamp_output  # round-3 plain output
 
     args = build_parser().parse_args([
         "--problem", "heston", "--heston-diffusion", "reference",
@@ -58,6 +66,7 @@ def test_oracle_available_for_every_problem():
         assert val is not None and np.isfinite(val), name
 
 
+@pytest.mark.slow  # test_cli_antithetic_and_ema_flags still trains end-to-end in the fast tier
 def test_cli_end_to_end(tmp_path):
     rc = main([
         "--problem", "call1d", "--D", "1", "--M", "8", "--N", "3",

@@ -7,6 +7,7 @@ from dnnpde_tpu.pde import BlackScholesBarenblatt
 from dnnpde_tpu.train.ensemble import train_ensemble
 
 
+@pytest.mark.slow  # heaviest ensemble path; lr-sweep/mesh/sensitivity tests stay fast
 def test_ensemble_shapes_and_training():
     prob = BlackScholesBarenblatt(D=4)
     res = train_ensemble(

@@ -25,6 +25,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow  # heaviest executor integrations; hjb/testcase/sensitivity stay in the fast tier
 def test_training_executor(tmp_path):
     rep = TrainingExecutor(SweepConfig(**TINY), str(tmp_path)).execute()
     df = pd.read_csv(tmp_path / "results.csv")
@@ -48,6 +49,7 @@ def test_training_executor_ema_protocol(tmp_path):
     assert len(df) == 1 and np.isfinite(df.loc[0, "Learned Price"])
 
 
+@pytest.mark.slow
 def test_corr_executor(tmp_path):
     rep = CorrExecutor(
         SweepConfig(**TINY), str(tmp_path),
@@ -77,6 +79,7 @@ def test_hjb_executor(tmp_path):
     assert df.loc[0, "exact_u0"] > 0  # MC oracle of log(1/2 + |X|^2/2) at X~N
 
 
+@pytest.mark.slow
 def test_heston_executor(tmp_path):
     rep = HestonExecutor(
         Ms=(4,), N=4, n_iter=(6, 2), save_path=str(tmp_path), mode="FC",
@@ -95,6 +98,7 @@ def test_heston_executor(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_heston_executor_flags_clamp_pinned_run(tmp_path, monkeypatch):
     """A run whose Y0 never leaves the output clamp (the dead-net collapse
     observed at M=2 with clamp_u=0) must be flagged degenerate."""

@@ -105,6 +105,7 @@ def test_bwd_kernel_accumulates_over_batch_tiles(wb):
         np.testing.assert_allclose(a, b, rtol=0, atol=5e-3)
 
 
+@pytest.mark.slow  # Pallas interpreter rollout; kernel math covered by the lighter tests
 def test_rollout_with_pallas_interpret_matches_default():
     """End-to-end: the pallas_interpret fused path trains to the same loss
     trajectory as the default autodiff path (same keys)."""

@@ -67,6 +67,7 @@ def test_sharded_step_compiles_with_collectives(mesh):
     assert np.isfinite(res.graph[1]).all()
 
 
+@pytest.mark.slow  # ~9 min under xdist load; the driver runs the dryrun every round
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 

@@ -129,6 +129,30 @@ class TrainingPlot:
             ax.view_init(elev=30, azim=130)
         return self._save(f"{name}_surfaces.png")
 
+    def plot_iv_smile(
+        self, strikes, model_iv, oracle_iv, discrete_iv=None, name="Heston"
+    ) -> str:
+        """Implied-volatility smile: model vs the Heston closed form (and,
+        optionally, the exact discrete-N BSDE oracle). Beyond-reference —
+        the reference plots price surfaces without ever scoring them
+        (``heston_dnnpde.py:977-1120``); the smile is the market-standard
+        score for a trained option-price surface."""
+        strikes = np.asarray(strikes)
+        plt.figure(figsize=figsize(1.0))
+        plt.plot(strikes, 100 * np.asarray(oracle_iv), "k-", lw=2,
+                 label="closed form")
+        if discrete_iv is not None:
+            plt.plot(strikes, 100 * np.asarray(discrete_iv), "k--", lw=1,
+                     label="discrete-N oracle")
+        plt.plot(strikes, 100 * np.asarray(model_iv), "o-", ms=4,
+                 label="model")
+        plt.xlabel("Strike K (S0 = 1)")
+        plt.ylabel("Implied vol (%)")
+        plt.title("IV smile — model vs oracle")
+        plt.legend()
+        plt.grid(alpha=0.3)
+        return self._save(f"{name}_iv_smile.png")
+
     def plot_jacobian_surface(
         self, t_values, s_values, Z, name="Jacobian", title="‖∇ₓu‖"
     ) -> str:

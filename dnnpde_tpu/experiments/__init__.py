@@ -3,8 +3,10 @@
 from dnnpde_tpu.experiments.executors import (
     CorrExecutor,
     HestonExecutor,
+    HestonSurfaceExecutor,
     HJBExecutor,
     SensitivityExecutor,
+    SurfaceConfig,
     SweepConfig,
     TestCaseExecutor,
     TrainingExecutor,
@@ -12,10 +14,12 @@ from dnnpde_tpu.experiments.executors import (
 
 __all__ = [
     "SweepConfig",
+    "SurfaceConfig",
     "TrainingExecutor",
     "CorrExecutor",
     "TestCaseExecutor",
     "HJBExecutor",
     "HestonExecutor",
+    "HestonSurfaceExecutor",
     "SensitivityExecutor",
 ]

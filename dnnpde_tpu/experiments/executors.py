@@ -484,6 +484,225 @@ class HestonExecutor:
         )
 
 
+@dataclasses.dataclass
+class SurfaceConfig:
+    """Config for :class:`HestonSurfaceExecutor` — defaults are the measured
+    round-4 winning recipe (results_r4/bigcfg_local_bs.log: IV smile mean
+    |err| 0.13–0.16 volpts across 3 seeds; greeks_combo.log: t=0 price/Δ/Γ
+    rel-L2 0.13%/0.29%/2.2%)."""
+
+    M: int = 1024
+    N: int = 50
+    width: int = 512
+    depth: int = 4
+    budget: int = 20000
+    # lognormal X0 jitter scale — the surface-training region (sim.lognormal_x0)
+    x0_scale: float = 0.3
+    # backward-induction per-step objective (the surface-mode winner)
+    objective: str = "local"
+    # HestonPDE output head: "bs" control-variate (default) or "plain"
+    output_mode: str = "bs"
+    ema_decay: float = 0.999
+    strikes: Sequence[float] = tuple(np.linspace(0.75, 1.3, 23))
+    # greeks grading times: t=0 is the served surface, t=0.5 on-distribution
+    t_evals: Sequence[float] = (0.0, 0.5)
+    s_grid: tuple[float, float, int] = (0.6, 1.5, 91)
+    seed: int = 0
+    # >0: additionally score the smile against the exact discrete-N BSDE
+    # oracle with this many paths per strike (separates time-discretization
+    # bias from optimization error; 4M paths pins price SE ≤ 1.8e-4)
+    discrete_oracle_paths: int = 0
+    # quality gate: mean |IV error| vs the closed form, in vol points
+    iv_gate_volpts: float = 1.0
+
+
+class HestonSurfaceExecutor:
+    """Surface-solver driver: train u(0, ·, v0) over a REGION of initial
+    states and grade the result as a surface — the IV smile vs the Heston
+    closed form (optionally also vs the exact discrete-N BSDE oracle) and
+    price/Δ/Γ surface rel-L2 at each grading time.
+
+    Beyond-reference: the reference plots Heston price/Δ/Γ surfaces without
+    ever scoring them (``heston_dnnpde.py:977-1120``), and its point solver
+    only ever learns u at the single state (S0, v0). This executor packages
+    the round-4 surface recipe — local (backward-induction) objective + BS
+    control-variate head + lognormal X0 sampling + EMA read — measured at
+    0.13–0.16 volpts mean |IV err| (results_r4/, ARCHITECTURE.md §6e).
+
+    Artifacts: ``results_heston_surface.csv`` (one smile row + one greeks
+    row per grading time, with quality flags), ``HestonSurface_iv_smile.png``
+    and learned-surface PNGs under ``save_path``.
+    """
+
+    def __init__(self, config: Optional[SurfaceConfig] = None,
+                 save_path: str = ".",
+                 heston: Optional[HestonPDE] = None):
+        self.cfg = config or SurfaceConfig()
+        self.save_path = save_path
+        if heston is not None:
+            self.problem = heston
+        elif self.cfg.output_mode == "plain":
+            self.problem = HestonPDE(clamp_output=False)
+        else:
+            self.problem = HestonPDE(clamp_output=True,
+                                     clamp_smoothing=self.cfg.output_mode)
+        self.report = ResultsReport()
+        self.plot = TrainingPlot(save_path)
+
+    # -- oracles ----------------------------------------------------------
+    def _closed_form_smile(self, strikes: np.ndarray) -> np.ndarray:
+        p = self.problem
+        return np.asarray([
+            float(heston_call_price(1.0, p.v0, HestonParams(
+                K=float(k), r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+            for k in strikes
+        ])
+
+    def _discrete_smile(self, strikes: np.ndarray) -> np.ndarray:
+        from dnnpde_tpu.numerics import discrete_bsde_surface
+
+        p, cfg = self.problem, self.cfg
+        S_eval = (1.0 / strikes).astype(np.float32)
+        x0s = np.stack([S_eval, np.full_like(S_eval, p.v0)], axis=-1)
+        vals = discrete_bsde_surface(
+            p, N=cfg.N, x0s=x0s, n_paths=cfg.discrete_oracle_paths,
+            batch=min(cfg.discrete_oracle_paths, 1_048_576),
+            seed=cfg.seed + 11)
+        return strikes * np.asarray([v.value for v in vals])
+
+    def _model_smile(self, trainer, strikes: np.ndarray) -> np.ndarray:
+        """price(S0=1, K) = K · u(0, 1/K, v0) by payoff homogeneity
+        (EMA read) — one strike-1 net prices the whole smile."""
+        import jax.numpy as jnp
+
+        p = self.problem
+        S_eval = (1.0 / strikes).astype(np.float32)
+        X = jnp.stack([jnp.asarray(S_eval),
+                       jnp.full_like(jnp.asarray(S_eval), p.v0)], axis=-1)
+        u, _ = trainer.net_u(trainer.ema_params,
+                             jnp.zeros((len(strikes), 1)), X)
+        return strikes * np.asarray(u[:, 0])
+
+    def _iv(self, prices: np.ndarray, strikes: np.ndarray) -> np.ndarray:
+        from dnnpde_tpu.numerics import implied_vol
+
+        p = self.problem
+        return np.asarray(implied_vol(prices, 1.0, strikes, p.T, p.r))
+
+    # -- driver ------------------------------------------------------------
+    def execute(self) -> "ResultsReport":
+        from dnnpde_tpu.sim import lognormal_x0
+
+        cfg, p = self.cfg, self.problem
+        layers = [p.dim + 1] + [cfg.width] * cfg.depth + [1]
+        trainer = Trainer(
+            p, M=cfg.M, N=cfg.N, layers=layers, mode="FC",
+            activation="Sine", seed=cfg.seed, ema_decay=cfg.ema_decay,
+            x0_sampler=lognormal_x0(p.x0, cfg.x0_scale),
+            objective=cfg.objective,
+        )
+        tic = time.time()
+        half, quarter = cfg.budget // 2, cfg.budget - 2 * (cfg.budget // 4)
+        for iters, lr in ((half, 1e-3), (cfg.budget // 4, 1e-4),
+                          (quarter, 1e-5)):
+            if iters > 0:
+                trainer.train(iters, lr, "Adam", verbose=False)
+        train_wall = time.time() - tic
+
+        strikes = np.asarray(cfg.strikes, np.float64)
+        cf_iv = self._iv(self._closed_form_smile(strikes), strikes)
+        model_iv = self._iv(self._model_smile(trainer, strikes), strikes)
+        err = (model_iv - cf_iv) * 100.0  # vol points
+        atm = int(np.argmin(np.abs(strikes - 1.0)))
+        row = dict(
+            kind="iv_smile", M=cfg.M, N=cfg.N, width=cfg.width,
+            budget=cfg.budget, objective=cfg.objective,
+            output_mode=cfg.output_mode, x0_scale=cfg.x0_scale,
+            seed=cfg.seed, n_strikes=len(strikes),
+            mean_abs_iv_err_volpts=float(np.mean(np.abs(err))),
+            max_abs_iv_err_volpts=float(np.max(np.abs(err))),
+            atm_iv_err_volpts=float(err[atm]),
+            ok=bool(np.mean(np.abs(err)) <= cfg.iv_gate_volpts),
+            run_time=train_wall,
+        )
+        discrete_iv = None
+        if cfg.discrete_oracle_paths > 0:
+            discrete_iv = self._iv(self._discrete_smile(strikes), strikes)
+            err_d = (model_iv - discrete_iv) * 100.0
+            row["mean_abs_iv_err_vs_discrete_volpts"] = float(
+                np.mean(np.abs(err_d)))
+            row["atm_iv_err_vs_discrete_volpts"] = float(err_d[atm])
+        self.report.add_row(**row)
+        self.plot.plot_iv_smile(strikes, model_iv, cf_iv,
+                                discrete_iv=discrete_iv,
+                                name="HestonSurface")
+
+        self._grade_greeks(trainer)
+        self.report.to_csv(f"{self.save_path}/results_heston_surface.csv")
+        return self.report
+
+    def _grade_greeks(self, trainer) -> None:
+        """Price/Δ/Γ surface rel-L2 vs the closed form's finite-difference
+        surfaces on the S-grid at v=v0, per grading time. The Δ oracle lives
+        at forward-difference midpoints, so the model Δ is averaged onto the
+        same staggering; the stencil's zero-padded boundary rows are
+        excluded (same protocol as scripts/studies.py::heston_trained_greeks)."""
+        from dnnpde_tpu.evals.greeks import heston_greeks
+        from dnnpde_tpu.numerics import (
+            heston_delta_surface, heston_gamma_surface, heston_price_surface,
+        )
+
+        cfg, p = self.cfg, self.problem
+        lo, hi, n = cfg.s_grid
+        S = np.linspace(lo, hi, int(n))
+        V = np.asarray([p.v0])
+        sl = slice(1, -1)
+
+        def rel_l2(a, b):
+            return float(np.linalg.norm(a - b)
+                         / max(np.linalg.norm(b), 1e-12))
+
+        for t_eval in cfg.t_evals:
+            hp_t = HestonParams(K=p.strike, r=p.r, T=p.T - t_eval,
+                                kappa=p.kappa, theta=p.theta,
+                                sigma=p.sigma_v, rho=p.rho, v0=p.v0)
+            price_o = np.asarray(heston_price_surface(S, V, hp_t))[:, 0]
+            delta_o = np.asarray(heston_delta_surface(S, V, hp_t))[:, 0]
+            gamma_o = np.asarray(heston_gamma_surface(S, V, hp_t))[:, 0]
+            u, delta, gamma = heston_greeks(
+                trainer, S, np.full_like(S, p.v0), t_eval, use_ema=True)
+            delta_mid = 0.5 * (delta[:-1] + delta[1:])
+            self.report.add_row(
+                kind="greeks", t=float(t_eval),
+                M=cfg.M, N=cfg.N, width=cfg.width, budget=cfg.budget,
+                objective=cfg.objective, output_mode=cfg.output_mode,
+                x0_scale=cfg.x0_scale, seed=cfg.seed,
+                price_rel_l2=rel_l2(u[sl], price_o[sl]),
+                delta_rel_l2=rel_l2(delta_mid[:-1], delta_o[:-2]),
+                gamma_rel_l2=rel_l2(gamma[sl], gamma_o[sl]),
+                ok=bool(rel_l2(u[sl], price_o[sl]) < 0.02),
+            )
+            if t_eval == 0.0:
+                self._plot_surfaces(trainer)
+
+    def _plot_surfaces(self, trainer) -> None:
+        from dnnpde_tpu.evals import compute_greeks
+
+        S_vals = np.linspace(0.6, 1.5, 19)
+        v_vals = np.linspace(0.05, 0.5, 8)
+        Sg, Vg = np.meshgrid(S_vals, v_vals, indexing="ij")
+        X = np.stack([Sg.ravel(), Vg.ravel()], axis=-1)
+        t = np.zeros((X.shape[0], 1))
+        u, delta, gamma_diag = compute_greeks(trainer, t, X, use_ema=True)
+        shape = (len(S_vals), len(v_vals))
+        self.plot.plot_heston_surfaces(
+            S_vals, v_vals, u[:, 0].reshape(shape),
+            delta[:, 0].reshape(shape), gamma_diag[:, 0].reshape(shape),
+            name="HestonSurfaceLearned",
+        )
+
+
 class SensitivityExecutor:
     """Real training samples + synthetic augmentation → HSIC analysis
     (reference ``SensitivityExecutor``, ``sensitivity_analysis_trun.py:1100-1217``).

@@ -127,3 +127,43 @@ def test_sensitivity_executor():
         "initial_lr", "fine_tuning_lr", "initial_n_iter", "fine_tuning_n_iter",
     }
     assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_heston_surface_executor(tmp_path):
+    """Tiny end-to-end run of the round-4 surface driver: smile + greeks
+    rows with quality flags, smile PNG + learned-surface PNG written.
+    (The measured full-size protocol lives in scripts/studies_r4.py /
+    results_r4/bigcfg_local_bs.log — 0.13-0.16 volpts.)"""
+    from dnnpde_tpu.experiments import HestonSurfaceExecutor, SurfaceConfig
+
+    cfg = SurfaceConfig(
+        M=8, N=4, width=16, depth=2, budget=8, x0_scale=0.3,
+        strikes=(0.9, 1.0, 1.1), t_evals=(0.0, 0.5),
+        s_grid=(0.7, 1.4, 15), seed=0,
+    )
+    rep = HestonSurfaceExecutor(cfg, str(tmp_path)).execute()
+    df = pd.read_csv(tmp_path / "results_heston_surface.csv")
+    smile = df[df["kind"] == "iv_smile"]
+    greeks = df[df["kind"] == "greeks"]
+    assert len(smile) == 1 and len(greeks) == 2
+    assert np.isfinite(smile.iloc[0]["mean_abs_iv_err_volpts"])
+    assert set(greeks["t"]) == {0.0, 0.5}
+    assert np.isfinite(greeks["price_rel_l2"]).all()
+    assert "ok" in df.columns
+    assert os.path.exists(tmp_path / "HestonSurface_iv_smile.png")
+    assert os.path.exists(tmp_path / "HestonSurfaceLearned_surfaces.png")
+
+
+def test_heston_surface_executor_discrete_oracle(tmp_path):
+    """discrete_oracle_paths > 0 adds the vs-discrete smile columns."""
+    from dnnpde_tpu.experiments import HestonSurfaceExecutor, SurfaceConfig
+
+    cfg = SurfaceConfig(
+        M=8, N=3, width=16, depth=2, budget=4, x0_scale=0.3,
+        strikes=(0.95, 1.05), t_evals=(0.5,), s_grid=(0.8, 1.3, 11),
+        discrete_oracle_paths=256,
+    )
+    rep = HestonSurfaceExecutor(cfg, str(tmp_path)).execute()
+    df = pd.read_csv(tmp_path / "results_heston_surface.csv")
+    smile = df[df["kind"] == "iv_smile"].iloc[0]
+    assert np.isfinite(smile["mean_abs_iv_err_vs_discrete_volpts"])

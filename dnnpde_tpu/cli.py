@@ -37,7 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="FC",
                    help="FC | Naisnet | Resnet | Verlet | SDEnet")
     p.add_argument("--activation", default="Sine", help="Sine | ReLU | Tanh")
-    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--width", type=int, default=256,
+                   help="hidden width (default 256). When widening, scale "
+                        "the lr down ~ 1/width (train.scaled_lr): width 1024 "
+                        "at the default lr trains WORSE than 512; at "
+                        "0.25x lr it wins (results_r4/dim1000_lr_width.log)")
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--optimizer", default="Adam")
     p.add_argument("--iters", type=int, nargs=2, default=[2000, 500],
@@ -110,7 +114,60 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="results", help="output directory")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--surface", action="store_true",
+                   help="(--problem heston) run the packaged SURFACE-solver "
+                        "protocol instead of the point solver: train u(0, ., "
+                        "v0) over a region and grade the IV smile vs the "
+                        "Heston closed form plus price/delta/gamma surface "
+                        "rel-L2 (experiments.HestonSurfaceExecutor). Flags "
+                        "left at their parser defaults resolve to the "
+                        "measured round-4 recipe (M=1024, width=512, "
+                        "objective=local, output=bs, x0-scale=0.3, 20k "
+                        "iters -> 0.13-0.16 volpts mean |IV err|); pass a "
+                        "flag explicitly to override it")
     return p
+
+
+# Parser defaults that --surface re-resolves to the measured surface recipe
+# when the user did not override them (SurfaceConfig holds the recipe).
+_SURFACE_RESOLVED = {
+    "M": 100, "N": 50, "width": 256, "depth": 4, "x0_scale": 0.0,
+    "objective": "global", "heston_output": "bs", "iters": [2000, 500],
+    "seed": 42,
+}
+
+
+def _surface_main(args) -> int:
+    """--surface driver: map CLI args onto SurfaceConfig (parser-default
+    values defer to the recipe defaults) and run HestonSurfaceExecutor."""
+    from dnnpde_tpu.experiments import HestonSurfaceExecutor, SurfaceConfig
+
+    if args.problem != "heston":
+        raise SystemExit("--surface requires --problem heston")
+    cfg_kwargs = {}
+    for arg_name, cfg_name in (
+        ("M", "M"), ("N", "N"), ("width", "width"), ("depth", "depth"),
+        ("x0_scale", "x0_scale"), ("objective", "objective"),
+        ("heston_output", "output_mode"), ("seed", "seed"),
+    ):
+        value = getattr(args, arg_name)
+        if value != _SURFACE_RESOLVED[arg_name]:
+            cfg_kwargs[cfg_name] = value
+    if args.iters != _SURFACE_RESOLVED["iters"]:
+        cfg_kwargs["budget"] = int(sum(args.iters))
+    if args.ema_decay is not None:
+        cfg_kwargs["ema_decay"] = args.ema_decay
+    cfg = SurfaceConfig(**cfg_kwargs)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    report = HestonSurfaceExecutor(cfg, str(out)).execute()
+    smile = next(r for r in report.rows if r["kind"] == "iv_smile")
+    if not args.quiet:
+        print(json.dumps({k: smile[k] for k in (
+            "mean_abs_iv_err_volpts", "max_abs_iv_err_volpts",
+            "atm_iv_err_volpts", "ok", "run_time")}))
+    return 0 if smile["ok"] else 1
 
 
 def make_problem(args):
@@ -208,6 +265,9 @@ def main(argv=None) -> int:
     # DNNPDE_COMPILATION_CACHE=<dir> makes repeat CLI runs start warm
     # (the chunk program deserializes instead of recompiling)
     maybe_enable_compilation_cache_from_env()
+
+    if args.surface:
+        return _surface_main(args)
 
     problem = make_problem(args)
     mesh = None

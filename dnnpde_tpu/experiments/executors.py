@@ -504,6 +504,10 @@ class SurfaceConfig:
     output_mode: str = "bs"
     ema_decay: float = 0.999
     strikes: Sequence[float] = tuple(np.linspace(0.75, 1.3, 23))
+    # smile grading times: the t=0 smile is the served surface; adding
+    # t>0 grades the TERM STRUCTURE — the same net read at time t against
+    # the closed form at maturity T−t (one net, whole (t, K) surface)
+    smile_t_evals: Sequence[float] = (0.0,)
     # greeks grading times: t=0 is the served surface, t=0.5 on-distribution
     t_evals: Sequence[float] = (0.0, 0.5)
     s_grid: tuple[float, float, int] = (0.6, 1.5, 91)
@@ -519,8 +523,10 @@ class SurfaceConfig:
 class HestonSurfaceExecutor:
     """Surface-solver driver: train u(0, ·, v0) over a REGION of initial
     states and grade the result as a surface — the IV smile vs the Heston
-    closed form (optionally also vs the exact discrete-N BSDE oracle) and
-    price/Δ/Γ surface rel-L2 at each grading time.
+    closed form (optionally also vs the exact discrete-N BSDE oracle),
+    the smile TERM STRUCTURE (``smile_t_evals``: the same net read at
+    time t, inverted at maturity T−t), and price/Δ/Γ surface rel-L2 at
+    each grading time.
 
     Beyond-reference: the reference plots Heston price/Δ/Γ surfaces without
     ever scoring them (``heston_dnnpde.py:977-1120``), and its point solver
@@ -550,11 +556,12 @@ class HestonSurfaceExecutor:
         self.plot = TrainingPlot(save_path)
 
     # -- oracles ----------------------------------------------------------
-    def _closed_form_smile(self, strikes: np.ndarray) -> np.ndarray:
+    def _closed_form_smile(self, strikes: np.ndarray,
+                           t: float = 0.0) -> np.ndarray:
         p = self.problem
         return np.asarray([
             float(heston_call_price(1.0, p.v0, HestonParams(
-                K=float(k), r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+                K=float(k), r=p.r, T=p.T - t, kappa=p.kappa, theta=p.theta,
                 sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
             for k in strikes
         ])
@@ -571,9 +578,10 @@ class HestonSurfaceExecutor:
             seed=cfg.seed + 11)
         return strikes * np.asarray([v.value for v in vals])
 
-    def _model_smile(self, trainer, strikes: np.ndarray) -> np.ndarray:
-        """price(S0=1, K) = K · u(0, 1/K, v0) by payoff homogeneity
-        (EMA read) — one strike-1 net prices the whole smile."""
+    def _model_smile(self, trainer, strikes: np.ndarray,
+                     t: float = 0.0) -> np.ndarray:
+        """price(t, S=1, K) = K · u(t, 1/K, v0) by payoff homogeneity
+        (EMA read) — one strike-1 net prices the whole (t, K) surface."""
         import jax.numpy as jnp
 
         p = self.problem
@@ -581,14 +589,15 @@ class HestonSurfaceExecutor:
         X = jnp.stack([jnp.asarray(S_eval),
                        jnp.full_like(jnp.asarray(S_eval), p.v0)], axis=-1)
         u, _ = trainer.net_u(trainer.ema_params,
-                             jnp.zeros((len(strikes), 1)), X)
+                             jnp.full((len(strikes), 1), float(t)), X)
         return strikes * np.asarray(u[:, 0])
 
-    def _iv(self, prices: np.ndarray, strikes: np.ndarray) -> np.ndarray:
+    def _iv(self, prices: np.ndarray, strikes: np.ndarray,
+            t: float = 0.0) -> np.ndarray:
         from dnnpde_tpu.numerics import implied_vol
 
         p = self.problem
-        return np.asarray(implied_vol(prices, 1.0, strikes, p.T, p.r))
+        return np.asarray(implied_vol(prices, 1.0, strikes, p.T - t, p.r))
 
     # -- driver ------------------------------------------------------------
     def execute(self) -> "ResultsReport":
@@ -611,32 +620,38 @@ class HestonSurfaceExecutor:
         train_wall = time.time() - tic
 
         strikes = np.asarray(cfg.strikes, np.float64)
-        cf_iv = self._iv(self._closed_form_smile(strikes), strikes)
-        model_iv = self._iv(self._model_smile(trainer, strikes), strikes)
-        err = (model_iv - cf_iv) * 100.0  # vol points
         atm = int(np.argmin(np.abs(strikes - 1.0)))
-        row = dict(
-            kind="iv_smile", M=cfg.M, N=cfg.N, width=cfg.width,
-            budget=cfg.budget, objective=cfg.objective,
-            output_mode=cfg.output_mode, x0_scale=cfg.x0_scale,
-            seed=cfg.seed, n_strikes=len(strikes),
-            mean_abs_iv_err_volpts=float(np.mean(np.abs(err))),
-            max_abs_iv_err_volpts=float(np.max(np.abs(err))),
-            atm_iv_err_volpts=float(err[atm]),
-            ok=bool(np.mean(np.abs(err)) <= cfg.iv_gate_volpts),
-            run_time=train_wall,
-        )
-        discrete_iv = None
-        if cfg.discrete_oracle_paths > 0:
-            discrete_iv = self._iv(self._discrete_smile(strikes), strikes)
-            err_d = (model_iv - discrete_iv) * 100.0
-            row["mean_abs_iv_err_vs_discrete_volpts"] = float(
-                np.mean(np.abs(err_d)))
-            row["atm_iv_err_vs_discrete_volpts"] = float(err_d[atm])
-        self.report.add_row(**row)
-        self.plot.plot_iv_smile(strikes, model_iv, cf_iv,
-                                discrete_iv=discrete_iv,
-                                name="HestonSurface")
+        smile_ts = tuple(cfg.smile_t_evals) or (0.0,)
+        for t in smile_ts:
+            cf_iv = self._iv(self._closed_form_smile(strikes, t), strikes, t)
+            model_iv = self._iv(
+                self._model_smile(trainer, strikes, t), strikes, t)
+            err = (model_iv - cf_iv) * 100.0  # vol points
+            row = dict(
+                kind="iv_smile", t=float(t), M=cfg.M, N=cfg.N,
+                width=cfg.width, budget=cfg.budget, objective=cfg.objective,
+                output_mode=cfg.output_mode, x0_scale=cfg.x0_scale,
+                seed=cfg.seed, n_strikes=len(strikes),
+                mean_abs_iv_err_volpts=float(np.mean(np.abs(err))),
+                max_abs_iv_err_volpts=float(np.max(np.abs(err))),
+                atm_iv_err_volpts=float(err[atm]),
+                ok=bool(np.mean(np.abs(err)) <= cfg.iv_gate_volpts),
+                run_time=train_wall,
+            )
+            discrete_iv = None
+            if cfg.discrete_oracle_paths > 0 and t == 0.0:
+                # the discrete oracle spans the full [0, T] N-step scheme;
+                # it only grades the served t=0 smile
+                discrete_iv = self._iv(self._discrete_smile(strikes), strikes)
+                err_d = (model_iv - discrete_iv) * 100.0
+                row["mean_abs_iv_err_vs_discrete_volpts"] = float(
+                    np.mean(np.abs(err_d)))
+                row["atm_iv_err_vs_discrete_volpts"] = float(err_d[atm])
+            self.report.add_row(**row)
+            if t == 0.0:
+                self.plot.plot_iv_smile(strikes, model_iv, cf_iv,
+                                        discrete_iv=discrete_iv,
+                                        name="HestonSurface")
 
         self._grade_greeks(trainer)
         self.report.to_csv(f"{self.save_path}/results_heston_surface.csv")

@@ -45,6 +45,12 @@ def enable_compilation_cache(
     """
     path = Path(os.path.expanduser(cache_dir)).resolve()
     path.mkdir(parents=True, exist_ok=True)
+    # jax memoizes the cache object at first use; drop it so a directory
+    # change after a compile has happened actually takes effect ("last
+    # directory wins" above).
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+
+    _cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", str(path))
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", float(min_compile_time_secs)

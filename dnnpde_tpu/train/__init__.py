@@ -26,6 +26,7 @@ from dnnpde_tpu.train.trainer import (
     TrainingPhases,
     TrainResult,
     default_layers,
+    scaled_lr,
 )
 
 __all__ = [
@@ -41,6 +42,7 @@ __all__ = [
     "TrainingPhases",
     "TrainResult",
     "default_layers",
+    "scaled_lr",
     "save_checkpoint",
     "restore_checkpoint",
     "save_checkpoint_orbax",

@@ -68,8 +68,28 @@ class TrainResult:
 
 
 def default_layers(dim: int, width: int = 256, depth: int = 4) -> list[int]:
-    """Reference default architecture [D+1, 256×4, 1] (``DeepBSDE.py:434``)."""
+    """Reference default architecture [D+1, 256×4, 1] (``DeepBSDE.py:434``).
+
+    When widening past 256, scale the learning rate down with
+    :func:`scaled_lr` — at the reference lr 1e-3, width 1024 trains WORSE
+    than 512 (4.2% vs 2.3% on D=1000 BSB), while at ``scaled_lr(1024)``
+    it wins outright (0.84%; results_r4/dim1000_lr_width.log).
+    """
     return [dim + 1] + [width] * depth + [1]
+
+
+def scaled_lr(width: int, base_lr: float = 1e-3, base_width: int = 256) -> float:
+    """Learning rate for a net of hidden width ``width``: lr ∝ 1/width.
+
+    Measured rule (results_r4/dim1000_lr_width.log, D=1000 BSB @ 20k iters):
+    the round-3 "width-1024 regression" (4.22% vs width-512's 2.28% at the
+    shared lr 1e-3) was an lr artifact — at 0.25×lr width 1024 lands 0.84%,
+    beating width 512 at its own best reduced lr (1.12%). Controls at w512
+    with the same reduced lrs separate the lr effect from the width effect.
+    The reference sweeps width with a fixed lr and never corrects for it
+    (``nd_BSPDE_case.py:750-801``).
+    """
+    return base_lr * base_width / float(width)
 
 
 class Trainer:

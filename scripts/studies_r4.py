@@ -570,3 +570,24 @@ if __name__ == "__main__":
     else:
         # studies defined below the dict (appended later) resolve lazily
         globals()[name]()
+
+
+def surface_executor(seeds=(0, 1, 2)):
+    """One-call reproduction of the round-4 surface result through the
+    PACKAGED driver (experiments.HestonSurfaceExecutor at its defaults) —
+    the same recipe the ad-hoc bigcfg_local_bs study measured at
+    0.13-0.16 volpts, now via the public API, with the discrete-N oracle
+    smile scored in the same run. Artifacts land in results_r4/."""
+    from dnnpde_tpu.experiments import HestonSurfaceExecutor, SurfaceConfig
+
+    for seed in seeds:
+        cfg = SurfaceConfig(seed=seed, discrete_oracle_paths=4_194_304,
+                            smile_t_evals=(0.0, 0.25, 0.5))
+        rep = HestonSurfaceExecutor(cfg, str(OUT_DIR)).execute()
+        for row in rep.rows:
+            _emit(study="r4_surface_executor", **{
+                k: (round(v, 6) if isinstance(v, float) else v)
+                for k, v in row.items()})
+
+
+STUDIES["surface_executor"] = surface_executor

@@ -124,3 +124,51 @@ def test_cli_antithetic_and_ema_flags(tmp_path):
     summary = json.loads((tmp_path / "summary.json").read_text())
     assert np.isfinite(summary["learned_y0"])
     assert summary["ema_y0"] is not None and np.isfinite(summary["ema_y0"])
+
+
+def test_cli_surface_mode(tmp_path):
+    """--surface runs the packaged Heston surface protocol: parser-default
+    flags resolve to the recipe (objective=local etc.), explicit flags
+    override, and the smile/greeks CSV + summary JSON land in --out."""
+    import os
+
+    from dnnpde_tpu.cli import _surface_main, build_parser
+
+    args = build_parser().parse_args([
+        "--problem", "heston", "--surface", "--M", "8", "--N", "4",
+        "--width", "16", "--depth", "2", "--iters", "4", "4",
+        "--seed", "0", "--out", str(tmp_path), "--quiet",
+    ])
+    rc = _surface_main(args)
+    assert rc in (0, 1)  # gate flag propagates to the exit code
+    assert os.path.exists(tmp_path / "results_heston_surface.csv")
+    assert os.path.exists(tmp_path / "HestonSurface_iv_smile.png")
+
+
+def test_cli_surface_requires_heston():
+    from dnnpde_tpu.cli import _surface_main, build_parser
+
+    args = build_parser().parse_args(["--problem", "bsb", "--surface"])
+    with pytest.raises(SystemExit):
+        _surface_main(args)
+
+
+def test_cli_surface_recipe_resolution():
+    """Flags at parser defaults resolve to SurfaceConfig recipe values;
+    explicit flags win."""
+    from dnnpde_tpu.cli import _SURFACE_RESOLVED, build_parser
+
+    defaults = build_parser().parse_args([])
+    for name, value in _SURFACE_RESOLVED.items():
+        assert getattr(defaults, name) == value, name
+
+
+def test_scaled_lr_rule():
+    """lr ~ 1/width, anchored at (256, 1e-3) — the measured fix for the
+    width-1024 regression (results_r4/dim1000_lr_width.log)."""
+    from dnnpde_tpu.train import scaled_lr
+
+    assert scaled_lr(256) == pytest.approx(1e-3)
+    assert scaled_lr(512) == pytest.approx(5e-4)
+    assert scaled_lr(1024) == pytest.approx(2.5e-4)
+    assert scaled_lr(1024, base_lr=2e-3) == pytest.approx(5e-4)

@@ -138,15 +138,16 @@ def test_heston_surface_executor(tmp_path):
 
     cfg = SurfaceConfig(
         M=8, N=4, width=16, depth=2, budget=8, x0_scale=0.3,
-        strikes=(0.9, 1.0, 1.1), t_evals=(0.0, 0.5),
-        s_grid=(0.7, 1.4, 15), seed=0,
+        strikes=(0.9, 1.0, 1.1), smile_t_evals=(0.0, 0.5),
+        t_evals=(0.0, 0.5), s_grid=(0.7, 1.4, 15), seed=0,
     )
     rep = HestonSurfaceExecutor(cfg, str(tmp_path)).execute()
     df = pd.read_csv(tmp_path / "results_heston_surface.csv")
     smile = df[df["kind"] == "iv_smile"]
     greeks = df[df["kind"] == "greeks"]
-    assert len(smile) == 1 and len(greeks) == 2
-    assert np.isfinite(smile.iloc[0]["mean_abs_iv_err_volpts"])
+    assert len(smile) == 2 and len(greeks) == 2  # term structure: t=0, 0.5
+    assert set(smile["t"]) == {0.0, 0.5}
+    assert np.isfinite(smile["mean_abs_iv_err_volpts"]).all()
     assert set(greeks["t"]) == {0.0, 0.5}
     assert np.isfinite(greeks["price_rel_l2"]).all()
     assert "ok" in df.columns

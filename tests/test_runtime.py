@@ -12,7 +12,19 @@ from dnnpde_tpu.runtime import (
 
 
 def _reset(monkeypatch_none=False):
+    """Restore the suite-wide cache state (conftest.py enables a shared
+    persistent cache; these tests redirect it to tmp dirs)."""
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", None)
+    if not os.environ.get("DNNPDE_TEST_NO_CACHE"):
+        enable_compilation_cache(
+            os.environ.get(
+                "DNNPDE_TEST_CACHE_DIR", "~/.cache/dnnpde_tpu_pytest_xla"
+            ),
+            min_compile_time_secs=0.5,
+        )
 
 
 def test_enable_compilation_cache_writes_entries(tmp_path):

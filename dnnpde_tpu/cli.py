@@ -21,7 +21,8 @@ from pathlib import Path
 
 import numpy as np
 
-PROBLEMS = ("bsb", "call1d", "callnd", "basket", "testcase", "hjb", "heston")
+PROBLEMS = ("bsb", "call1d", "callnd", "basket", "testcase", "hjb",
+            "heston", "american_put")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -185,6 +186,12 @@ def make_problem(args):
         return pde.BSPDETestCase(D=args.D, T=args.T)
     if args.problem == "hjb":
         return pde.HamiltonJacobiBellman(D=args.D, T=args.T)
+    if args.problem == "american_put":
+        # the contract is a put on ONE underlying; the parser-default D=100
+        # resolves to 1. An explicit multi-D (basket-sum put) is allowed but
+        # drops the 1-D European-premium head.
+        D = 1 if args.D == 100 else args.D
+        return pde.AmericanPutOption(D=D, T=args.T, bs_head=(D == 1))
     if args.problem == "heston":
         if args.heston_output == "plain":
             return pde.HestonPDE(T=args.T, diffusion=args.heston_diffusion,
@@ -241,6 +248,13 @@ def oracle_y0(problem, args) -> float | None:
             payoff="sum", drift=2 * problem.r,
         )
         return float(mc)
+    if name == "american_put":
+        # matching Bermudan-N discrete oracle (exercise on the solver's grid)
+        n_tree = 40 * args.N
+        return float(numerics.crr_binomial(
+            float(np.sum(np.asarray(problem.x0))), problem.K, problem.T,
+            problem.r, problem.sigma_bar, n_steps=n_tree, payoff="put",
+            american=True, exercise_every=n_tree // args.N))
     if name == "hjb":
         return float(numerics.hjb_exact_mc(
             jax.random.PRNGKey(0), 0.0, np.zeros(problem.dim), T=problem.T))
@@ -270,6 +284,11 @@ def main(argv=None) -> int:
         return _surface_main(args)
 
     problem = make_problem(args)
+    if getattr(problem, "early_exercise", False) and args.objective == "global":
+        # optimal stopping needs the per-step reflected targets; the parser
+        # default "global" silently resolves (an explicit --objective global
+        # would error in the solver with the same guidance anyway)
+        args.objective = "local"
     mesh = None
     if args.dp:
         from dnnpde_tpu.parallel import make_mesh

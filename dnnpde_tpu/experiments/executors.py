@@ -511,6 +511,10 @@ class SurfaceConfig:
     # greeks grading times: t=0 is the served surface, t=0.5 on-distribution
     t_evals: Sequence[float] = (0.0, 0.5)
     s_grid: tuple[float, float, int] = (0.6, 1.5, 91)
+    # v grid for the 2-D (S, v) surface grade, in MULTIPLES of v0 — the
+    # lognormal X0 sampler jitters both coordinates, so at x0_scale=0.3 the
+    # ±2σ trained region is v0·e^{±0.6} ≈ [0.55, 1.82]·v0
+    v_grid: tuple[float, float, int] = (0.6, 1.8, 7)
     seed: int = 0
     # >0: additionally score the smile against the exact discrete-N BSDE
     # oracle with this many paths per strike (separates time-discretization
@@ -525,8 +529,9 @@ class HestonSurfaceExecutor:
     states and grade the result as a surface — the IV smile vs the Heston
     closed form (optionally also vs the exact discrete-N BSDE oracle),
     the smile TERM STRUCTURE (``smile_t_evals``: the same net read at
-    time t, inverted at maturity T−t), and price/Δ/Γ surface rel-L2 at
-    each grading time.
+    time t, inverted at maturity T−t), price/Δ/Γ surface rel-L2 at each
+    grading time, and the full 2-D (S, v) price surface + variance-vega
+    ∂u/∂v vs closed-form oracles (``_grade_surface2d``).
 
     Beyond-reference: the reference plots Heston price/Δ/Γ surfaces without
     ever scoring them (``heston_dnnpde.py:977-1120``), and its point solver
@@ -654,6 +659,7 @@ class HestonSurfaceExecutor:
                                         name="HestonSurface")
 
         self._grade_greeks(trainer)
+        self._grade_surface2d(trainer)
         self.report.to_csv(f"{self.save_path}/results_heston_surface.csv")
         return self.report
 
@@ -700,6 +706,56 @@ class HestonSurfaceExecutor:
             )
             if t_eval == 0.0:
                 self._plot_surfaces(trainer)
+
+    def _grade_surface2d(self, trainer) -> None:
+        """Grade u as a full (S, v) SURFACE plus variance-vega ∂u/∂v.
+
+        The lognormal X0 sampler jitters BOTH state coordinates, so training
+        constrains u(0, S, v) on a 2-D region — not just the v = v0 slice the
+        smile and greeks grade. Scored per grading time: price rel-L2 over
+        the (s_grid × v_grid·v0) mesh vs the closed form, and variance-vega
+        ∂u/∂v on the v = v0 slice (autodiff through the shared transform_u)
+        vs a central-difference closed-form oracle. The reference renders
+        (S, v) surfaces without scoring them (``heston_dnnpde.py:977-1120``)
+        and has no vega at all."""
+        from dnnpde_tpu.evals import compute_greeks
+        from dnnpde_tpu.numerics import heston_price_surface
+
+        cfg, p = self.cfg, self.problem
+        lo, hi, n = cfg.s_grid
+        S = np.linspace(lo, hi, int(n))
+        vlo, vhi, vn = cfg.v_grid
+        V = np.linspace(vlo, vhi, int(vn)) * p.v0
+        iv0 = int(np.argmin(np.abs(V - p.v0)))
+
+        def rel_l2(a, b):
+            return float(np.linalg.norm(a - b)
+                         / max(np.linalg.norm(b), 1e-12))
+
+        Sg, Vg = np.meshgrid(S, V, indexing="ij")
+        X = np.stack([Sg.ravel(), Vg.ravel()], axis=-1)
+        h = 0.05 * p.v0
+        for t_eval in cfg.t_evals:
+            hp_t = HestonParams(K=p.strike, r=p.r, T=p.T - t_eval,
+                                kappa=p.kappa, theta=p.theta,
+                                sigma=p.sigma_v, rho=p.rho, v0=p.v0)
+            price_o = np.asarray(heston_price_surface(S, V, hp_t))
+            tcol = np.full((X.shape[0], 1), t_eval, np.float32)
+            u, grad, _ = compute_greeks(trainer, tcol, X, use_ema=True)
+            price2d = rel_l2(u[:, 0].reshape(len(S), len(V)), price_o)
+            po = np.asarray(heston_price_surface(
+                S, np.asarray([p.v0 - h, p.v0 + h]), hp_t))
+            vega_o = (po[:, 1] - po[:, 0]) / (2.0 * h)
+            vega_m = grad[:, 1].reshape(len(S), len(V))[:, iv0]
+            self.report.add_row(
+                kind="surface2d", t=float(t_eval), M=cfg.M, N=cfg.N,
+                width=cfg.width, budget=cfg.budget, objective=cfg.objective,
+                output_mode=cfg.output_mode, x0_scale=cfg.x0_scale,
+                seed=cfg.seed,
+                price2d_rel_l2=price2d,
+                vega_rel_l2=rel_l2(vega_m, vega_o),
+                ok=bool(price2d < 0.02),
+            )
 
     def _plot_surfaces(self, trainer) -> None:
         from dnnpde_tpu.evals import compute_greeks

@@ -1,5 +1,6 @@
 """Classical numerics: JAX-native ground-truth oracles (SURVEY.md §2.4)."""
 
+from dnnpde_tpu.numerics.binomial import crr_binomial
 from dnnpde_tpu.numerics.black_scholes import (
     basket_analytical_approx,
     black_scholes_call,
@@ -61,6 +62,7 @@ __all__ = [
     "black_scholes_call",
     "black_scholes_delta",
     "call_price_grid",
+    "crr_binomial",
     "basket_analytical_approx",
     "bsb_exact_solution",
     "CNGrid",

@@ -3,6 +3,7 @@
 from dnnpde_tpu.pde.base import CallableProblem, PDEProblem, as_callable_problem
 from dnnpde_tpu.pde.heston import HestonPDE
 from dnnpde_tpu.pde.problems import (
+    AmericanPutOption,
     BSPDETestCase,
     BasketCallOption,
     BlackScholesBarenblatt,
@@ -15,6 +16,7 @@ __all__ = [
     "PDEProblem",
     "as_callable_problem",
     "CallableProblem",
+    "AmericanPutOption",
     "BlackScholesBarenblatt",
     "CallOption1D",
     "CallOptionND",

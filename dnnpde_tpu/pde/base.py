@@ -89,6 +89,24 @@ class PDEProblem:
         return None
 
     @property
+    def early_exercise(self) -> bool:
+        """True for optimal-stopping (American/Bermudan) problems. The
+        local objective then clamps every per-step regression target at the
+        payoff — the discrete reflected-BSDE / Snell-envelope recursion
+        V_k = max(g(X_k), E_k[V_{k+1}] − φΔt) — so the net learns the
+        CONTINUATION value and the served value is :meth:`value_u`.
+        Requires ``objective="local"`` (the global summed-residual rollout
+        has no per-step regression to reflect). Beyond-reference: the
+        reference has no early-exercise support anywhere."""
+        return False
+
+    def value_u(self, X: Array, u: Array) -> Array:
+        """Served VALUE given the net's output u at (t, X): identity for
+        European-style problems; the Snell-envelope read max(g(X), u) for
+        early-exercise problems (u is the learned continuation)."""
+        return jnp.maximum(self.g(X), u) if self.early_exercise else u
+
+    @property
     def x0(self) -> Array:
         raise NotImplementedError
 

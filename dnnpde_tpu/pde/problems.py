@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from dnnpde_tpu.pde.base import Array, PDEProblem
@@ -103,6 +104,94 @@ class CallOption1D(PDEProblem):
 
     def g(self, X):
         return jnp.maximum(jnp.sum(X, axis=-1, keepdims=True) - self.K, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class AmericanPutOption(PDEProblem):
+    """American (Bermudan-N) put under Black–Scholes dynamics — an
+    OPTIMAL-STOPPING problem, beyond anything the reference can express
+    (its only objective is the global summed residual over European-style
+    rollouts, ``1d_BSPDE_case.py:246-289``; no early exercise anywhere).
+
+    phi = r·Y, g = max(K − ΣX, 0), mu = r·X, sigma = σ̄·diag(X). With the
+    local (backward-induction) objective the per-step regression target is
+    clamped at the payoff — the discrete reflected-BSDE / Snell-envelope
+    recursion V_k = max(g(X_k), E_k[V_{k+1}]/(1+rΔt)) — so the net learns
+    the CONTINUATION value and the served value is max(g, u)
+    (:meth:`PDEProblem.value_u`). With N solver steps the learned price is
+    the Bermudan-N value; score it against the matching discrete oracle
+    ``numerics.crr_binomial(..., exercise_every=n_steps//N)`` (or the full
+    American tree, an O(Δt) gap). Requires ``Trainer(objective="local")``.
+    """
+
+    D: int = 1
+    r: float = 0.06
+    sigma_bar: float = 0.2
+    strike: Optional[float] = None  # default 1.0 * D
+    # European control-variate head (D=1 only, DEFAULT): u = euro_put(S, τ)
+    # + √(τ/T)·softplus(raw + shift). The base is the closed-form European
+    # put via put-call parity — exact payoff at τ=0 (both terminal
+    # penalties vanish by construction, same argument as the Heston bs
+    # head, pde/heston.py) — and the net learns only the NON-NEGATIVE
+    # early-exercise premium (continuation ≥ European: holding to maturity
+    # is an admissible policy from any node). Softplus keeps the premium
+    # admissible; ``head_shift`` starts it small. Measured
+    # ("r4_american_put" vs "r4_american_put_head", 3 seeds each, M=1024
+    # N=50 @ 20k iters vs the matching Bermudan-N CRR tree): plain head
+    # +2.4…+3.9% high (bootstrapped-max overestimation at the exercise
+    # boundary); bs head 0.15–0.35% — the 10–20× cure, so it is the
+    # default. local_ema targets were measured and REJECTED both ways
+    # (−24…−33% cold-start failure plain; +37…+78% runaway with the head).
+    bs_head: bool = True
+    head_shift: float = -3.0
+    name: str = "AmericanPut"
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def early_exercise(self) -> bool:
+        return True
+
+    @property
+    def has_output_transform(self) -> bool:
+        return self.bs_head
+
+    def transform_u(self, t, X, u):
+        if not self.bs_head:
+            return super().transform_u(t, X, u)
+        if self.D != 1:
+            raise ValueError("bs_head supports D=1 only")
+        from dnnpde_tpu.numerics.black_scholes import black_scholes_call
+
+        S = X[..., 0:1]
+        tau = jnp.clip(self.T - t, 0.0, None)
+        euro = (black_scholes_call(S, self.K, tau, self.r, self.sigma_bar,
+                                   cdf="tanh")
+                - S + self.K * jnp.exp(-self.r * tau))
+        premium = jnp.sqrt(tau / self.T) * jax.nn.softplus(u + self.head_shift)
+        return euro + premium
+
+    @property
+    def K(self) -> float:
+        return 1.0 * self.D if self.strike is None else self.strike
+
+    @property
+    def x0(self) -> Array:
+        return jnp.ones((self.D,), dtype=jnp.float32)
+
+    def mu(self, t, X, Y, Z):
+        return self.r * X
+
+    def sigma(self, t, X, Y):
+        return self.sigma_bar * X
+
+    def phi(self, t, X, Y, Z):
+        return self.r * Y
+
+    def g(self, X):
+        return jnp.maximum(self.K - jnp.sum(X, axis=-1, keepdims=True), 0.0)
 
 
 @dataclasses.dataclass(frozen=True)

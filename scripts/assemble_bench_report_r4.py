@@ -31,6 +31,10 @@ LOGS = [
     "results_r4/basket_relu_median.log",
     "results_r4/bigcfg_local_bs.log",
     "results_r4/polish_gate.log",
+    "results_r4/surface_executor.log",
+    "results_r4/calibration_roundtrip.log",
+    "results_r4/american_put.log",
+    "results_r4/american_put_head.log",
     "results_r4/harness.log",
 ]
 

@@ -557,21 +557,6 @@ def polish_gate(seeds=(0, 1, 2)):
               wall_time_s=round(time.perf_counter() - t0, 1))
 
 
-if __name__ == "__main__":
-    args = sys.argv[1:]
-    if not args:
-        print("usage: studies_r4.py <study> [args]", file=sys.stderr)
-        sys.exit(2)
-    name, rest = args[0], args[1:]
-    if name == "smile_winner_bigcfg" and rest:
-        smile_winner_bigcfg(rest[0])
-    elif name in STUDIES:
-        STUDIES[name]()
-    else:
-        # studies defined below the dict (appended later) resolve lazily
-        globals()[name]()
-
-
 def surface_executor(seeds=(0, 1, 2)):
     """One-call reproduction of the round-4 surface result through the
     PACKAGED driver (experiments.HestonSurfaceExecutor at its defaults) —
@@ -591,3 +576,169 @@ def surface_executor(seeds=(0, 1, 2)):
 
 
 STUDIES["surface_executor"] = surface_executor
+
+
+def calibration_roundtrip(seed=0):
+    """Flagship pipeline demo: train the surface net ONCE, read its whole
+    (t, K) price surface (3 maturities x 23 strikes via homogeneity), and
+    CALIBRATE the Heston parameters back out of it with
+    numerics.calibrate_heston (Adam on the exact differentiable closed
+    form), starting from a deliberately-wrong initial guess.
+
+    The control row calibrates to the closed form's OWN quotes on the
+    identical grid + init + budget — the identifiability floor of the grid
+    itself (rho/kappa are weakly identified by a short-maturity surface);
+    the model row's parameter errors are meaningful only relative to it.
+    Beyond-reference: the reference has no calibration workflow at all
+    (its pricer is non-differentiable scipy.quad, sv_heston.py:51-58)."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import (
+        HestonParams, calibrate_heston, heston_call_price)
+
+    p, tr, wall = _train_surface(
+        "local", False, seed=seed, M=1024, width=512, x0_scale=0.3,
+        budget=BUDGET, output_mode="bs")
+
+    ts = (0.0, 0.25, 0.5)
+    S_eval = (1.0 / STRIKES).astype(np.float32)
+    X = jnp.stack([jnp.asarray(S_eval),
+                   jnp.full_like(jnp.asarray(S_eval), p.v0)], axis=-1)
+    Kg, Tg, quotes_model, quotes_cf = [], [], [], []
+    for t in ts:
+        u, _ = tr.net_u(tr.ema_params, jnp.full((len(STRIKES), 1), t), X)
+        quotes_model.extend((STRIKES * np.asarray(u[:, 0])).tolist())
+        quotes_cf.extend(
+            float(heston_call_price(1.0, p.v0, HestonParams(
+                K=float(k), r=p.r, T=p.T - t, kappa=p.kappa, theta=p.theta,
+                sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+            for k in STRIKES)
+        Kg.extend(STRIKES.tolist())
+        Tg.extend([p.T - t] * len(STRIKES))
+
+    true = dict(kappa=p.kappa, theta=p.theta, sigma=p.sigma_v,
+                rho=p.rho, v0=p.v0)
+    # every parameter 30-50% off the truth
+    init = HestonParams(K=1.0, r=p.r, T=p.T, kappa=1.2, theta=0.12,
+                        sigma=0.45, rho=0.4, v0=0.3)
+    for label, quotes in (("closed_form_control", quotes_cf),
+                          ("model_surface", quotes_model)):
+        res = calibrate_heston(1.0, Kg, Tg, quotes, r=p.r, init=init,
+                               n_iter=2000, lr=0.02)
+        f = res.params
+        _emit(study="r4_calibration_roundtrip", quotes=label, seed=seed,
+              n_quotes=len(quotes), rmse_rel=round(res.rmse_rel, 6),
+              feller=round(float(res.feller), 4),
+              train_wall_s=round(wall, 1),
+              **{f"fit_{k}": round(float(getattr(f, a)), 4)
+                 for k, a in (("kappa", "kappa"), ("theta", "theta"),
+                              ("sigma", "sigma"), ("rho", "rho"),
+                              ("v0", "v0"))},
+              **{f"abs_err_{k}": round(abs(float(getattr(f, a)) - true[k]), 4)
+                 for k, a in (("kappa", "kappa"), ("theta", "theta"),
+                              ("sigma", "sigma"), ("rho", "rho"),
+                              ("v0", "v0"))})
+
+
+STUDIES["calibration_roundtrip"] = calibration_roundtrip
+
+
+def american_put(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """Optimal stopping: Bermudan-N put via the reflected local objective,
+    scored against the MATCHING CRR Bermudan-N tree (exercise dates = the
+    solver grid) and the full American tree. Arms: plain local (self-
+    targets — known max-overestimation risk, the deep-RL bootstrap bias)
+    vs local_ema (frozen EMA shadow targets — the target-network cure).
+    Beyond-reference: no early exercise exists anywhere in the reference."""
+    from dnnpde_tpu.numerics import crr_binomial
+    from dnnpde_tpu.pde import AmericanPutOption
+    from dnnpde_tpu.train import Trainer
+
+    p = AmericanPutOption()
+    n_tree = 80 * N
+    berm = crr_binomial(1.0, p.K, p.T, p.r, p.sigma_bar, n_steps=n_tree,
+                        payoff="put", american=True, exercise_every=n_tree // N)
+    amer = crr_binomial(1.0, p.K, p.T, p.r, p.sigma_bar, n_steps=n_tree,
+                        payoff="put", american=True)
+    euro = crr_binomial(1.0, p.K, p.T, p.r, p.sigma_bar, n_steps=n_tree,
+                        payoff="put", american=False)
+    for objective in ("local", "local_ema"):
+        for seed in seeds:
+            t0 = time.perf_counter()
+            tr = Trainer(p, M=M, N=N, layers=[2, 256, 256, 256, 256, 1],
+                         mode="FC", activation="Sine", seed=seed,
+                         ema_decay=0.999, objective=objective)
+            half, quarter = budget // 2, budget // 4
+            for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+                tr.train(it, lr, log_every=2000, verbose=False)
+            y0 = float(tr.y0_log[-1])
+            _emit(study="r4_american_put", objective=objective, seed=seed,
+                  M=M, N=N, budget=budget, learned_y0=round(y0, 6),
+                  oracle_bermudan_n=round(berm, 6),
+                  oracle_american=round(amer, 6),
+                  oracle_european=round(euro, 6),
+                  rel_err_vs_bermudan=round(abs(y0 - berm) / berm, 5),
+                  premium_captured=round((y0 - euro) / (berm - euro), 4),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+STUDIES["american_put"] = american_put
+
+
+def american_put_head(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """Arm 2 of the optimal-stopping study: the European control-variate
+    head (AmericanPutOption(bs_head=True) — net learns only the
+    non-negative premium over the closed-form European put). Hypothesis:
+    the max-bias of the plain local arm (+2.4–3.9% measured,
+    "r4_american_put") is approximation wiggle near the exercise boundary;
+    the head shrinks the learned function 10x, so the wiggle — and the
+    bias — should shrink with it. local_ema is retried here too: its
+    cold-start failure (−24%) should vanish when the init already prices
+    the European contract."""
+    from dnnpde_tpu.numerics import crr_binomial
+    from dnnpde_tpu.pde import AmericanPutOption
+    from dnnpde_tpu.train import Trainer
+
+    p = AmericanPutOption(bs_head=True)
+    n_tree = 80 * N
+    kw = dict(S0=1.0, K=p.K, T=p.T, r=p.r, sigma=p.sigma_bar,
+              n_steps=n_tree, payoff="put")
+    berm = crr_binomial(american=True, exercise_every=n_tree // N, **kw)
+    amer = crr_binomial(american=True, **kw)
+    euro = crr_binomial(american=False, **kw)
+    for objective in ("local", "local_ema"):
+        for seed in seeds:
+            t0 = time.perf_counter()
+            tr = Trainer(p, M=M, N=N, layers=[2, 256, 256, 256, 256, 1],
+                         mode="FC", activation="Sine", seed=seed,
+                         ema_decay=0.999, objective=objective)
+            half, quarter = budget // 2, budget // 4
+            for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+                tr.train(it, lr, log_every=2000, verbose=False)
+            y0 = float(tr.y0_log[-1])
+            _emit(study="r4_american_put_head", objective=objective,
+                  seed=seed, M=M, N=N, budget=budget,
+                  learned_y0=round(y0, 6),
+                  oracle_bermudan_n=round(berm, 6),
+                  oracle_american=round(amer, 6),
+                  oracle_european=round(euro, 6),
+                  rel_err_vs_bermudan=round(abs(y0 - berm) / berm, 5),
+                  premium_captured=round((y0 - euro) / (berm - euro), 4),
+                  wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+STUDIES["american_put_head"] = american_put_head
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if not args:
+        print("usage: studies_r4.py <study> [args]", file=sys.stderr)
+        sys.exit(2)
+    name, rest = args[0], args[1:]
+    if name == "smile_winner_bigcfg" and rest:
+        smile_winner_bigcfg(rest[0])
+    elif name in STUDIES:
+        STUDIES[name]()
+    else:
+        globals()[name]()

@@ -126,6 +126,22 @@ def test_cli_antithetic_and_ema_flags(tmp_path):
     assert summary["ema_y0"] is not None and np.isfinite(summary["ema_y0"])
 
 
+def test_cli_american_put(tmp_path):
+    """--problem american_put: the parser-default 'global' objective
+    auto-resolves to 'local' (optimal stopping needs reflected targets),
+    the Bermudan-N tree oracle is reported, and the run completes."""
+    rc = main([
+        "--problem", "american_put", "--D", "1", "--M", "8", "--N", "4",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert np.isfinite(summary["learned_y0"])
+    # Bermudan-4 CRR value for the default contract (K=1, r=0.06, σ=0.2)
+    assert summary["oracle_y0"] == pytest.approx(0.0567, abs=0.002)
+
+
 def test_cli_surface_mode(tmp_path):
     """--surface runs the packaged Heston surface protocol: parser-default
     flags resolve to the recipe (objective=local etc.), explicit flags

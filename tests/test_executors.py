@@ -145,11 +145,15 @@ def test_heston_surface_executor(tmp_path):
     df = pd.read_csv(tmp_path / "results_heston_surface.csv")
     smile = df[df["kind"] == "iv_smile"]
     greeks = df[df["kind"] == "greeks"]
+    surf2d = df[df["kind"] == "surface2d"]
     assert len(smile) == 2 and len(greeks) == 2  # term structure: t=0, 0.5
     assert set(smile["t"]) == {0.0, 0.5}
     assert np.isfinite(smile["mean_abs_iv_err_volpts"]).all()
     assert set(greeks["t"]) == {0.0, 0.5}
     assert np.isfinite(greeks["price_rel_l2"]).all()
+    assert len(surf2d) == 2  # full (S, v) grade per grading time
+    assert np.isfinite(surf2d["price2d_rel_l2"]).all()
+    assert np.isfinite(surf2d["vega_rel_l2"]).all()
     assert "ok" in df.columns
     assert os.path.exists(tmp_path / "HestonSurface_iv_smile.png")
     assert os.path.exists(tmp_path / "HestonSurfaceLearned_surfaces.png")

@@ -22,7 +22,7 @@ from pathlib import Path
 import numpy as np
 
 PROBLEMS = ("bsb", "call1d", "callnd", "basket", "testcase", "hjb",
-            "heston", "american_put")
+            "heston", "american_put", "barrier_call")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -186,6 +186,8 @@ def make_problem(args):
         return pde.BSPDETestCase(D=args.D, T=args.T)
     if args.problem == "hjb":
         return pde.HamiltonJacobiBellman(D=args.D, T=args.T)
+    if args.problem == "barrier_call":
+        return pde.UpAndOutCall(T=args.T)
     if args.problem == "american_put":
         # the contract is a put on ONE underlying; the parser-default D=100
         # resolves to 1. An explicit multi-D (basket-sum put) is allowed but
@@ -248,6 +250,11 @@ def oracle_y0(problem, args) -> float | None:
             payoff="sum", drift=2 * problem.r,
         )
         return float(mc)
+    if name == "barrier_call":
+        # matching discrete oracle: same Euler + post_step chain
+        d = numerics.discrete_bsde_value(problem, N=args.N,
+                                         n_paths=1_048_576, seed=0)
+        return float(d.value)
     if name == "american_put":
         # matching Bermudan-N discrete oracle (exercise on the solver's grid)
         n_tree = 40 * args.N
@@ -284,10 +291,15 @@ def main(argv=None) -> int:
         return _surface_main(args)
 
     problem = make_problem(args)
-    if getattr(problem, "early_exercise", False) and args.objective == "global":
-        # optimal stopping needs the per-step reflected targets; the parser
-        # default "global" silently resolves (an explicit --objective global
-        # would error in the solver with the same guidance anyway)
+    if args.objective == "global" and (
+        getattr(problem, "early_exercise", False)
+        or getattr(problem, "has_post_step", False)
+    ):
+        # the parser-default "global" resolves to "local" where it is
+        # required (optimal stopping: the solver would reject it) or
+        # measured far better (barrier: the value process jumps at
+        # knockout dates; local one-step targets absorb the jump, the
+        # summed-rollout residual lands -44% at the test budget)
         args.objective = "local"
     mesh = None
     if args.dp:

@@ -182,6 +182,11 @@ def _discrete_value(
                 + problem.mu(t0, X0, Yz, Zz) * dt
                 + problem.sigma_dw(sig, dw)
             )
+            if problem.has_post_step:
+                # identical post-transition hook as the training rollout
+                # (solver/bsde.py::em_step) — e.g. discrete barrier monitor
+                t1 = jnp.full((batch, 1), (n + 1) * dt, dtype)
+                X1 = problem.post_step(t1, X1)
             return X1, None
         X0 = jnp.broadcast_to(x0, (batch, D))
         XN, _ = jax.lax.scan(step, X0, jnp.arange(N))

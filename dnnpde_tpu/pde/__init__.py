@@ -4,12 +4,15 @@ from dnnpde_tpu.pde.base import CallableProblem, PDEProblem, as_callable_problem
 from dnnpde_tpu.pde.heston import HestonPDE
 from dnnpde_tpu.pde.problems import (
     AmericanPutOption,
+    AsianCallOption,
     BSPDETestCase,
     BasketCallOption,
     BlackScholesBarenblatt,
     CallOption1D,
     CallOptionND,
     HamiltonJacobiBellman,
+    LookbackCallOption,
+    UpAndOutCall,
 )
 
 __all__ = [
@@ -17,11 +20,14 @@ __all__ = [
     "as_callable_problem",
     "CallableProblem",
     "AmericanPutOption",
+    "AsianCallOption",
     "BlackScholesBarenblatt",
     "CallOption1D",
     "CallOptionND",
     "BasketCallOption",
     "BSPDETestCase",
     "HamiltonJacobiBellman",
+    "LookbackCallOption",
+    "UpAndOutCall",
     "HestonPDE",
 ]

@@ -89,6 +89,23 @@ class PDEProblem:
         return None
 
     @property
+    def has_post_step(self) -> bool:
+        """True when :meth:`post_step` is not the identity."""
+        return False
+
+    def post_step(self, t: Array, X: Array) -> Array:
+        """Post-transition state map applied after EVERY Euler step — in
+        the training rollout (``solver/bsde.py::em_step``) and in the
+        discrete-BSDE oracle chain (``numerics/discrete_bsde.py``), so the
+        two transition kernels can never diverge. Identity by default.
+        Path-dependent payoffs ride on it: e.g. the discretely-monitored
+        barrier problems decay an ALIVE indicator coordinate at each
+        monitoring date (:class:`~dnnpde_tpu.pde.UpAndOutCall`). Must be
+        jit-traceable and differentiable if training should see barrier
+        gradients (use a smoothed indicator)."""
+        return X
+
+    @property
     def early_exercise(self) -> bool:
         """True for optimal-stopping (American/Bermudan) problems. The
         local objective then clamps every per-step regression target at the

@@ -195,6 +195,190 @@ class AmericanPutOption(PDEProblem):
 
 
 @dataclasses.dataclass(frozen=True)
+class UpAndOutCall(PDEProblem):
+    """Discretely-monitored up-and-out barrier call — a PATH-DEPENDENT
+    payoff, beyond anything in the reference (every reference payoff is a
+    function of the terminal state alone).
+
+    State X = (S, a): GBM underlying plus a multiplicative ALIVE indicator
+    updated at every solver step (= monitoring date) through the
+    :meth:`post_step` hook: a ← a·m(S) with m = 1{S < B}
+    (``smooth_beta=None``) or the sigmoid σ(β(B − S)) (smoothed monitor —
+    differentiable through the barrier, the trainable default; β → ∞
+    recovers the hard contract). The payoff is g = a·max(S − K, 0) and the
+    value is exactly LINEAR in a, so the output transform is u = a·raw:
+    knocked-out paths carry value 0 identically (their residuals vanish —
+    a never re-grows) and the net spends all capacity on the alive surface
+    f(t, S). Works under BOTH objectives (the path-dependence lives in the
+    state, not the objective). The discrete oracle
+    (``numerics.discrete_bsde_value``) runs the SAME post_step chain, so
+    the accuracy gate is exact at any N and any smoothing — no
+    Broadie–Glasserman continuity correction needed.
+    """
+
+    r: float = 0.05
+    sigma_bar: float = 0.2
+    strike: float = 1.0
+    barrier: float = 1.3
+    smooth_beta: Optional[float] = 50.0
+    name: str = "UpAndOutCall"
+
+    @property
+    def dim(self) -> int:
+        return 2
+
+    @property
+    def has_post_step(self) -> bool:
+        return True
+
+    @property
+    def has_output_transform(self) -> bool:
+        return True
+
+    @property
+    def x0(self) -> Array:
+        return jnp.asarray([1.0, 1.0], dtype=jnp.float32)
+
+    def monitor(self, S: Array) -> Array:
+        """Knock-out factor at one monitoring date: 1 below the barrier,
+        0 above (smoothed by ``smooth_beta`` unless None)."""
+        if self.smooth_beta is None:
+            return (S < self.barrier).astype(S.dtype)
+        return jax.nn.sigmoid(self.smooth_beta * (self.barrier - S))
+
+    def post_step(self, t, X):
+        S, a = X[..., 0:1], X[..., 1:2]
+        return jnp.concatenate([S, a * self.monitor(S)], axis=-1)
+
+    def transform_u(self, t, X, u):
+        return X[..., 1:2] * u
+
+    def mu(self, t, X, Y, Z):
+        return jnp.concatenate(
+            [self.r * X[..., 0:1], jnp.zeros_like(X[..., 1:2])], axis=-1
+        )
+
+    def sigma(self, t, X, Y):
+        return jnp.concatenate(
+            [self.sigma_bar * X[..., 0:1], jnp.zeros_like(X[..., 1:2])],
+            axis=-1,
+        )
+
+    def phi(self, t, X, Y, Z):
+        return self.r * Y
+
+    def g(self, X):
+        return X[..., 1:2] * jnp.maximum(X[..., 0:1] - self.strike, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class AsianCallOption(PDEProblem):
+    """Discretely-sampled arithmetic-average Asian call — path-dependent
+    via the :meth:`post_step` hook (no reference counterpart; the
+    arithmetic-average contract has no closed form even classically).
+
+    State X = (S, A): GBM underlying plus the RUNNING AVERAGE of the N
+    post-step samples, accumulated as A ← A + S/N at each step (A0 = 0;
+    after step k, A = (1/N)·Σ_{j≤k} S_j — at maturity the full discrete
+    average). Payoff g = max(A − K, 0). The average evolves continuously
+    (no value jumps, unlike the barrier monitor), so BOTH objectives
+    apply. The exact oracle is ``numerics.discrete_bsde_value`` over the
+    identical chain; a classical cross-check is the geometric-average
+    closed form (the arithmetic value sits above it by Jensen).
+    """
+
+    r: float = 0.05
+    sigma_bar: float = 0.2
+    strike: float = 1.0
+    N_samples: int = 50  # must equal the Trainer's N (1/N weight per step)
+    name: str = "AsianCall"
+
+    @property
+    def dim(self) -> int:
+        return 2
+
+    @property
+    def has_post_step(self) -> bool:
+        return True
+
+    @property
+    def x0(self) -> Array:
+        return jnp.asarray([1.0, 0.0], dtype=jnp.float32)
+
+    def post_step(self, t, X):
+        S, A = X[..., 0:1], X[..., 1:2]
+        return jnp.concatenate([S, A + S / self.N_samples], axis=-1)
+
+    def mu(self, t, X, Y, Z):
+        return jnp.concatenate(
+            [self.r * X[..., 0:1], jnp.zeros_like(X[..., 1:2])], axis=-1
+        )
+
+    def sigma(self, t, X, Y):
+        return jnp.concatenate(
+            [self.sigma_bar * X[..., 0:1], jnp.zeros_like(X[..., 1:2])],
+            axis=-1,
+        )
+
+    def phi(self, t, X, Y, Z):
+        return self.r * Y
+
+    def g(self, X):
+        return jnp.maximum(X[..., 1:2] - self.strike, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class LookbackCallOption(PDEProblem):
+    """Discretely-monitored floating-strike lookback call — path-dependent
+    via the :meth:`post_step` hook (no reference counterpart).
+
+    State X = (S, m): GBM underlying plus the RUNNING MINIMUM over the
+    monitoring dates, m ← min(m, S) at each step (m0 = S0). Payoff
+    g = S_N − m_N ≥ 0 (buy at the observed low). min() is continuous and
+    piecewise-smooth, so gradients flow without smoothing and both
+    objectives apply. Exact oracle: ``numerics.discrete_bsde_value`` over
+    the identical chain.
+    """
+
+    r: float = 0.05
+    sigma_bar: float = 0.2
+    name: str = "LookbackCall"
+
+    @property
+    def dim(self) -> int:
+        return 2
+
+    @property
+    def has_post_step(self) -> bool:
+        return True
+
+    @property
+    def x0(self) -> Array:
+        return jnp.asarray([1.0, 1.0], dtype=jnp.float32)
+
+    def post_step(self, t, X):
+        S, m = X[..., 0:1], X[..., 1:2]
+        return jnp.concatenate([S, jnp.minimum(m, S)], axis=-1)
+
+    def mu(self, t, X, Y, Z):
+        return jnp.concatenate(
+            [self.r * X[..., 0:1], jnp.zeros_like(X[..., 1:2])], axis=-1
+        )
+
+    def sigma(self, t, X, Y):
+        return jnp.concatenate(
+            [self.sigma_bar * X[..., 0:1], jnp.zeros_like(X[..., 1:2])],
+            axis=-1,
+        )
+
+    def phi(self, t, X, Y, Z):
+        return self.r * Y
+
+    def g(self, X):
+        return X[..., 0:1] - X[..., 1:2]
+
+
+@dataclasses.dataclass(frozen=True)
 class CallOptionND(PDEProblem):
     """nD call in BSB form: phi = r(Y − ΣXZ), g = max(ΣX − K, 0),
     mu = r·X, sigma = σ̄·diag(X); r = 0.05, σ̄ = 0.20, K = 1.0·D

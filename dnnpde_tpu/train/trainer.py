@@ -154,6 +154,14 @@ class Trainer:
         self.problem = problem
         self.M = int(M)
         self.N = int(N)
+        n_samples = getattr(problem, "N_samples", None)
+        if n_samples is not None and int(n_samples) != self.N:
+            raise ValueError(
+                f"{problem.name}: problem.N_samples={n_samples} must equal "
+                f"the Trainer's N={self.N} (the per-step accumulation weight "
+                "in post_step depends on it — construct the problem with "
+                f"N_samples={self.N})"
+            )
         self.dtype = dtype
         self.mesh = mesh
         self.nan_guard = nan_guard

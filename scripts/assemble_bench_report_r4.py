@@ -35,6 +35,9 @@ LOGS = [
     "results_r4/calibration_roundtrip.log",
     "results_r4/american_put.log",
     "results_r4/american_put_head.log",
+    "results_r4/american_surface.log",
+    "results_r4/serve_bench.log",
+    "results_r4/barrier_call.log",
     "results_r4/harness.log",
 ]
 

@@ -730,6 +730,184 @@ def american_put_head(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
 STUDIES["american_put_head"] = american_put_head
 
 
+def american_surface(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """Surface-mode optimal stopping: train the American put over the
+    lognormal X0 region, then grade it as a SURFACE — value rel-L2 vs
+    per-point Bermudan trees at several read times (each tree prices the
+    remaining contract: maturity T−t, exercise dates = the remaining
+    solver grid) and the EXERCISE BOUNDARY S*(t), extracted with the same
+    rule from model and oracle (largest S with premium ≤ 1e-4). The
+    boundary is the classic American-pricing deliverable; nothing in the
+    reference prices early exercise at all."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import crr_binomial
+    from dnnpde_tpu.pde import AmericanPutOption
+    from dnnpde_tpu.sim import lognormal_x0
+    from dnnpde_tpu.train import Trainer
+
+    p = AmericanPutOption()
+    S = np.linspace(0.6, 1.4, 81)
+    eps = 1e-4
+    # read times snapped to the solver grid (k/N for integer k)
+    t_reads = (0.0, 0.24, 0.5, 0.76)
+
+    def boundary(premium):
+        """Exercise boundary: the last S of the CONTIGUOUS low-S exercise
+        region (premium ≤ eps) before the first exit into continuation.
+        (A global 'largest S with premium ≤ eps' would false-trigger deep
+        OTM, where value ≈ intrinsic ≈ 0 too.) NaN if the grid starts
+        already in continuation."""
+        above = premium > eps
+        if not above.any():
+            return float("nan")
+        first = int(np.argmax(above))
+        return float(S[first - 1]) if first > 0 else float("nan")
+
+    oracle_cache = {}
+    for t in t_reads:
+        n_rem = max(int(round(N * (p.T - t) / p.T)), 1)
+        n_tree = 80 * n_rem
+        vals = np.asarray([
+            crr_binomial(float(s), p.K, p.T - t, p.r, p.sigma_bar,
+                         n_steps=n_tree, payoff="put", american=True,
+                         exercise_every=80)
+            for s in S
+        ])
+        oracle_cache[t] = vals
+
+    for seed in seeds:
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=M, N=N, layers=[2, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed,
+                     ema_decay=0.999, objective="local",
+                     x0_sampler=lognormal_x0(p.x0, 0.3))
+        half, quarter = budget // 2, budget // 4
+        for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+            tr.train(it, lr, log_every=2000, verbose=False)
+        wall = time.perf_counter() - t0
+        X = jnp.asarray(S[:, None], jnp.float32)
+        intrinsic = np.maximum(p.K - S, 0.0)
+        for t in t_reads:
+            tcol = jnp.full((len(S), 1), float(t), jnp.float32)
+            u, _ = tr.net_u(tr.ema_params, tcol, X)
+            V = np.asarray(p.value_u(X, u))[:, 0]
+            o = oracle_cache[t]
+            rel_l2 = float(np.linalg.norm(V - o) / np.linalg.norm(o))
+            b_m, b_o = boundary(V - intrinsic), boundary(o - intrinsic)
+            _emit(study="r4_american_surface", seed=seed, t=float(t),
+                  M=M, N=N, budget=budget,
+                  value_rel_l2=round(rel_l2, 6),
+                  boundary_model=round(b_m, 4), boundary_tree=round(b_o, 4),
+                  boundary_abs_err=round(abs(b_m - b_o), 4),
+                  wall_time_s=round(wall, 1))
+
+
+STUDIES["american_surface"] = american_surface
+
+
+def serve_bench(batches=(1024, 16384, 131072), iters=50):
+    """Serving-path throughput on the real chip: export the flagship BSB
+    solution (D=100, width-256 FC-Sine) as the portable StableHLO artifact
+    and measure the hot path — (u, Z=∇ₓu) per evaluation, i.e. price +
+    100 greeks per point. Reported per batch size: steady-state
+    evaluations/s (pipelined device calls, one terminal block), plus
+    artifact size and export/load/first-call walls. The reference's only
+    'serving' is re-loading a torch pickle into the training codebase
+    (1d_BSPDE_case.py:453-464) and has no measured serving path at all."""
+    import jax
+
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.serve import load_solution, save_solution
+    from dnnpde_tpu.train import Trainer
+
+    p = BlackScholesBarenblatt(D=100, T=1.0)
+    tr = Trainer(p, M=100, N=50, mode="FC", activation="Sine", seed=0,
+                 ema_decay=0.999)
+    tr.train(2000, 1e-3, log_every=1000, verbose=False)
+
+    path = str(OUT_DIR / "bsb100_served.stablehlo")
+    t0 = time.perf_counter()
+    save_solution(path, tr, use_ema=True)
+    export_s = time.perf_counter() - t0
+    import os
+
+    t0 = time.perf_counter()
+    served = load_solution(path)
+    load_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(0)
+    for b in batches:
+        X = np.asarray(rng.lognormal(0.0, 0.2, size=(b, 100)), np.float32)
+        t = np.zeros((b, 1), np.float32)
+        t0 = time.perf_counter()
+        u, Z = served.u_and_grad_device(t, X)
+        jax.block_until_ready((u, Z))
+        first_call_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            u, Z = served.u_and_grad_device(t, X)
+        jax.block_until_ready((u, Z))
+        dt = time.perf_counter() - t0
+        _emit(study="r4_serve_bench", batch=b, iters=iters,
+              evals_per_sec=round(b * iters / dt, 1),
+              us_per_eval=round(dt / (b * iters) * 1e6, 3),
+              first_call_s=round(first_call_s, 2),
+              artifact_kb=round(os.path.getsize(path) / 1024, 1),
+              export_s=round(export_s, 2), load_s=round(load_s, 2))
+
+
+STUDIES["serve_bench"] = serve_bench
+
+
+def barrier_call(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """Path-dependent payoffs: discretely-monitored up-and-out call via
+    the post_step state hook, gated against the EXACT discrete oracle
+    (same Euler + post_step chain). Arms: local objective (the shipped
+    recipe — the value process jumps at knockout dates and the one-step
+    targets absorb it) for smooth (β=50) and hard monitors, plus ONE
+    global-objective control (measured −44% at the CPU test budget).
+    Beyond-reference: every reference payoff is terminal-state-only."""
+    from dnnpde_tpu.numerics import discrete_bsde_value
+    from dnnpde_tpu.pde import UpAndOutCall
+    from dnnpde_tpu.train import Trainer
+
+    problems = {
+        "smooth": UpAndOutCall(),
+        "hard": UpAndOutCall(smooth_beta=None),
+    }
+    oracles = {
+        k: discrete_bsde_value(p, N=N, n_paths=4_194_304, seed=99)
+        for k, p in problems.items()
+    }
+
+    def run(monitor, objective, seed):
+        p = problems[monitor]
+        d = oracles[monitor]
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=M, N=N, layers=[3, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed,
+                     ema_decay=0.999, objective=objective)
+        half, quarter = budget // 2, budget // 4
+        for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+            tr.train(it, lr, log_every=2000, verbose=False)
+        y0 = float(tr.y0_log[-1])
+        _emit(study="r4_barrier_call", monitor=monitor, objective=objective,
+              seed=seed, M=M, N=N, budget=budget, learned_y0=round(y0, 6),
+              oracle_discrete=round(float(d.value), 6),
+              oracle_se=round(float(d.standard_error), 8),
+              rel_err=round(abs(y0 - d.value) / d.value, 5),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+
+    for monitor in ("smooth", "hard"):
+        for seed in seeds:
+            run(monitor, "local", seed)
+    run("smooth", "global", 0)  # the measured control
+
+
+STUDIES["barrier_call"] = barrier_call
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args:

@@ -142,6 +142,20 @@ def test_cli_american_put(tmp_path):
     assert summary["oracle_y0"] == pytest.approx(0.0567, abs=0.002)
 
 
+def test_cli_barrier_call(tmp_path):
+    """--problem barrier_call: objective auto-resolves to local (the value
+    jumps at knockout dates), the oracle is the exact discrete chain."""
+    rc = main([
+        "--problem", "barrier_call", "--M", "8", "--N", "4",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert np.isfinite(summary["learned_y0"])
+    assert 0.0 < summary["oracle_y0"] < 0.1  # knocked-out call ≪ vanilla
+
+
 def test_cli_surface_mode(tmp_path):
     """--surface runs the packaged Heston surface protocol: parser-default
     flags resolve to the recipe (objective=local etc.), explicit flags

@@ -246,3 +246,31 @@ def test_tp_sharded_wide_net_converges():
     u0 = float(bsb_exact_solution(0.0, np.asarray(p.x0)[None, :], T=p.T)[0, 0])
     rel = abs(tr.y0_log[-1] - u0) / u0
     assert rel < 0.05, f"tp-sharded BSB rel err {rel:.3f} vs exact {u0:.4f}"
+
+
+def test_american_put_converges_to_bermudan_tree():
+    """Optimal stopping end-to-end (CPU budget): the reflected local
+    objective + European-premium head must land within 3% of the MATCHING
+    Bermudan-N CRR tree and must capture a positive early-exercise
+    premium (TPU studies land 0.15–0.35% at the 20k budget,
+    "r4_american_put_head")."""
+    from dnnpde_tpu.numerics import crr_binomial
+    from dnnpde_tpu.pde import AmericanPutOption
+
+    p = AmericanPutOption()
+    N = 10
+    tr = Trainer(p, M=256, N=N, layers=[2, 32, 32, 32, 1], seed=0,
+                 ema_decay=0.999, objective="local")
+    tr.train(2500, 1e-3, log_every=500, verbose=False)
+    tr.train(500, 1e-4, log_every=100, verbose=False)
+    n_tree = 80 * N
+    berm = crr_binomial(1.0, p.K, p.T, p.r, p.sigma_bar, n_steps=n_tree,
+                        payoff="put", american=True,
+                        exercise_every=n_tree // N)
+    euro = crr_binomial(1.0, p.K, p.T, p.r, p.sigma_bar, n_steps=n_tree,
+                        payoff="put", american=False)
+    y0 = float(np.mean(tr.y0_log[-3:]))
+    rel = abs(y0 - berm) / berm
+    assert rel < 0.03, f"american put rel err {rel:.4f} vs tree {berm:.5f}"
+    assert y0 > euro + 0.3 * (berm - euro), (
+        f"premium not captured: y0 {y0:.5f} vs euro {euro:.5f}")

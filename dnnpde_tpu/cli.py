@@ -22,7 +22,8 @@ from pathlib import Path
 import numpy as np
 
 PROBLEMS = ("bsb", "call1d", "callnd", "basket", "testcase", "hjb",
-            "heston", "american_put", "barrier_call")
+            "heston", "american_put", "barrier_call", "asian_call",
+            "lookback_call")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -188,6 +189,12 @@ def make_problem(args):
         return pde.HamiltonJacobiBellman(D=args.D, T=args.T)
     if args.problem == "barrier_call":
         return pde.UpAndOutCall(T=args.T)
+    if args.problem == "asian_call":
+        # the running average accumulates 1/N of each post-step sample, so
+        # the contract's sampling count is tied to the solver grid
+        return pde.AsianCallOption(T=args.T, N_samples=args.N)
+    if args.problem == "lookback_call":
+        return pde.LookbackCallOption(T=args.T)
     if args.problem == "american_put":
         # the contract is a put on ONE underlying; the parser-default D=100
         # resolves to 1. An explicit multi-D (basket-sum put) is allowed but
@@ -250,7 +257,7 @@ def oracle_y0(problem, args) -> float | None:
             payoff="sum", drift=2 * problem.r,
         )
         return float(mc)
-    if name == "barrier_call":
+    if name in ("barrier_call", "asian_call", "lookback_call"):
         # matching discrete oracle: same Euler + post_step chain
         d = numerics.discrete_bsde_value(problem, N=args.N,
                                          n_paths=1_048_576, seed=0)

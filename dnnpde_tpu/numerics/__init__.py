@@ -5,6 +5,8 @@ from dnnpde_tpu.numerics.black_scholes import (
     basket_analytical_approx,
     black_scholes_call,
     black_scholes_delta,
+    geometric_asian_call,
+    lookback_call_floating,
     bsb_exact_solution,
     call_price_grid,
 )
@@ -61,6 +63,8 @@ from dnnpde_tpu.numerics.variance_gamma import (
 __all__ = [
     "black_scholes_call",
     "black_scholes_delta",
+    "geometric_asian_call",
+    "lookback_call_floating",
     "call_price_grid",
     "crr_binomial",
     "basket_analytical_approx",

@@ -107,6 +107,60 @@ def basket_analytical_approx(
     return black_scholes_call(mean_spot, K, jnp.asarray(T), r, sigma / jnp.sqrt(D))
 
 
+def geometric_asian_call(
+    S0: float, K: float, T: float, r: float, sigma: float, N: int
+) -> float:
+    """Discretely-sampled GEOMETRIC-average Asian call, exact under GBM
+    (Kemna–Vorst 1990, discrete form). Sampling dates t_i = i·T/N,
+    i = 1..N; G = (Π S_{t_i})^{1/N} is lognormal with
+
+        E[log G]   = log S0 + (r − σ²/2)·T(N+1)/(2N)
+        Var[log G] = σ²·T·(N+1)(2N+1)/(6N²)
+
+    (Var uses Σ_{i,j≤N} min(i,j) = N(N+1)(2N+1)/6). Price
+    = e^{−rT}(e^{μ+v/2}Φ(d1) − KΦ(d2)). No reference counterpart (every
+    reference payoff is terminal-state-only); here it is the classical
+    cross-check for :class:`~dnnpde_tpu.pde.AsianCallOption` — by the
+    pathwise AM–GM inequality the arithmetic contract's value sits ABOVE
+    this one, and close (Jensen gap ~O(σ²T))."""
+    mu = jnp.log(S0) + (r - 0.5 * sigma**2) * T * (N + 1) / (2 * N)
+    v = sigma**2 * T * (N + 1) * (2 * N + 1) / (6 * N**2)
+    s = jnp.sqrt(v)
+    d1 = (mu - jnp.log(K) + v) / s
+    d2 = d1 - s
+    return float(
+        jnp.exp(-r * T) * (jnp.exp(mu + 0.5 * v) * norm.cdf(d1) - K * norm.cdf(d2))
+    )
+
+
+def lookback_call_floating(
+    S0: float, T: float, r: float, sigma: float
+) -> float:
+    """CONTINUOUSLY-monitored floating-strike lookback call
+    C = E[e^{−rT}(S_T − min_{t≤T} S_t)] under GBM, fresh contract
+    (running min = S0): Goldman–Sosin–Gatto 1979. With
+    a1 = (r + σ²/2)√T/σ and a2 = a1 − σ√T (fresh contract, so the
+    (S0/m0)^{−2r/σ²} power term is 1 and −a1 + (2r/σ)√T = a2):
+
+        C = S0[Φ(a1) − e^{−rT}Φ(a2)] + S0·(σ²/2r)·[e^{−rT}Φ(a2) − Φ(−a1)]
+
+    This is a strict UPPER bound for the discretely-monitored contract
+    (:class:`~dnnpde_tpu.pde.LookbackCallOption`): the discrete running
+    min over N dates is ≥ the continuous min pathwise, so the discrete
+    payoff S_T − m_N is ≤ the continuous payoff (gap ~β₁σS0√(T/N),
+    Broadie–Glasserman–Kou)."""
+    sqT = jnp.sqrt(T)
+    a1 = (r + 0.5 * sigma**2) * sqT / sigma
+    a2 = a1 - sigma * sqT
+    c = (
+        S0 * (norm.cdf(a1) - jnp.exp(-r * T) * norm.cdf(a2))
+        + S0
+        * (sigma**2 / (2.0 * r))
+        * (jnp.exp(-r * T) * norm.cdf(a2) - norm.cdf(-a1))
+    )
+    return float(c)
+
+
 def bsb_exact_solution(
     t: Array, X: Array, T: float, r: float = 0.05, sigma_bar: float = 0.4
 ) -> Array:

@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after training, export the solution as a portable "
                         "cpu+tpu StableHLO serving artifact (weights baked, "
                         "symbolic batch; see dnnpde_tpu.serve)")
+    p.add_argument("--cv-price", type=int, default=0, metavar="PATHS",
+                   help="after training, MC-price with the net as a "
+                        "control variate (evals.neural_cv_value): PATHS "
+                        "simulated paths, reports the CV value, SE, and "
+                        "the measured variance-reduction factor "
+                        "(linear-driver problems only)")
     p.add_argument("--resume", default=None, help="load checkpoint before training")
     p.add_argument("--out", default="results", help="output directory")
     p.add_argument("--log-every", type=int, default=100)
@@ -379,6 +385,26 @@ def main(argv=None) -> int:
         "wall_time_s": wall,
         "iters_per_sec": sum(args.iters) / wall,
     }
+    if args.cv_price:
+        from dnnpde_tpu.evals import neural_cv_from_trainer
+
+        try:
+            cv = neural_cv_from_trainer(
+                trainer, n_paths=args.cv_price,
+                use_ema=args.ema_decay is not None,
+            )
+        except ValueError as e:
+            # nonlinear/Z-coupled driver (bsb, hjb): the telescoped MC target
+            # does not exist — report why instead of discarding the training
+            summary["cv_price"] = {"error": str(e)}
+        else:
+            summary["cv_price"] = {
+                "value": cv.value, "standard_error": cv.standard_error,
+                "plain_value": cv.plain_value,
+                "plain_standard_error": cv.plain_standard_error,
+                "variance_reduction": cv.variance_reduction,
+                "c": cv.c, "n_paths": cv.n_paths,
+            }
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     if args.checkpoint:
         trainer.save_model(args.checkpoint)

@@ -1,6 +1,11 @@
 """Evaluation & analysis layer (L5): predictions, metrics, stability,
 sensitivity, plots, reports."""
 
+from dnnpde_tpu.evals.control_variate import (
+    NeuralCVValue,
+    neural_cv_from_trainer,
+    neural_cv_value,
+)
 from dnnpde_tpu.evals.correlation_analysis import (
     RandomCorrelationSensitivityAnalysis,
     equicorrelation_sensitivity,
@@ -27,6 +32,9 @@ from dnnpde_tpu.evals.sensitivity import (
 from dnnpde_tpu.evals.stability import StabilityCheck
 
 __all__ = [
+    "NeuralCVValue",
+    "neural_cv_from_trainer",
+    "neural_cv_value",
     "ConvergenceAnalysis",
     "error_stats",
     "relative_l2_error",

@@ -38,6 +38,8 @@ LOGS = [
     "results_r4/american_surface.log",
     "results_r4/serve_bench.log",
     "results_r4/barrier_call.log",
+    "results_r4/asian_lookback.log",
+    "results_r4/neural_cv.log",
     "results_r4/harness.log",
 ]
 

@@ -897,7 +897,9 @@ def barrier_call(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
               oracle_discrete=round(float(d.value), 6),
               oracle_se=round(float(d.standard_error), 8),
               rel_err=round(abs(y0 - d.value) / d.value, 5),
-              wall_time_s=round(time.perf_counter() - t0, 1))
+              wall_time_s=round(time.perf_counter() - t0, 1),
+              **({} if objective == "local"
+                 else {"semantics": "lever-shootout"}))
 
     for monitor in ("smooth", "hard"):
         for seed in seeds:
@@ -906,6 +908,129 @@ def barrier_call(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
 
 
 STUDIES["barrier_call"] = barrier_call
+
+
+def asian_lookback(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """Path-dependent payoffs with CONTINUOUS running state (vs the
+    barrier's jumps): arithmetic-average Asian call and floating-strike
+    lookback call, each riding a post_step state coordinate. Gated
+    against the EXACT discrete oracle (same Euler + post_step chain) and
+    bracketed by independent closed forms: Kemna–Vorst geometric Asian
+    (pathwise AM–GM lower bound) and Goldman–Sosin–Gatto continuous
+    lookback (upper bound for discrete monitoring). Arms: local objective
+    (shipped recipe) 3 seeds, one global control each. Beyond-reference:
+    every reference payoff is terminal-state-only."""
+    from dnnpde_tpu.numerics import (
+        discrete_bsde_value,
+        geometric_asian_call,
+        lookback_call_floating,
+    )
+    from dnnpde_tpu.pde import AsianCallOption, LookbackCallOption
+    from dnnpde_tpu.train import Trainer
+
+    problems = {
+        "asian": AsianCallOption(N_samples=N),
+        "lookback": LookbackCallOption(),
+    }
+    oracles = {
+        k: discrete_bsde_value(p, N=N, n_paths=4_194_304, seed=99)
+        for k, p in problems.items()
+    }
+    brackets = {
+        "asian": ("geometric_lower",
+                  geometric_asian_call(1.0, problems["asian"].strike,
+                                       problems["asian"].T,
+                                       problems["asian"].r,
+                                       problems["asian"].sigma_bar, N)),
+        "lookback": ("continuous_upper",
+                     lookback_call_floating(1.0, problems["lookback"].T,
+                                            problems["lookback"].r,
+                                            problems["lookback"].sigma_bar)),
+    }
+
+    def run(contract, objective, seed):
+        p = problems[contract]
+        d = oracles[contract]
+        bname, bval = brackets[contract]
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=M, N=N, layers=[3, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed,
+                     ema_decay=0.999, objective=objective)
+        half, quarter = budget // 2, budget // 4
+        for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+            tr.train(it, lr, log_every=2000, verbose=False)
+        y0 = float(tr.y0_log[-1])
+        _emit(study="r4_asian_lookback", contract=contract,
+              objective=objective, seed=seed, M=M, N=N, budget=budget,
+              learned_y0=round(y0, 6),
+              oracle_discrete=round(float(d.value), 6),
+              oracle_se=round(float(d.standard_error), 8),
+              rel_err=round(abs(y0 - d.value) / d.value, 5),
+              closed_form_bracket=bname, bracket_value=round(float(bval), 6),
+              wall_time_s=round(time.perf_counter() - t0, 1),
+              **({} if objective == "local"
+                 else {"semantics": "lever-shootout"}))
+
+    for contract in ("asian", "lookback"):
+        for seed in seeds:
+            run(contract, "local", seed)
+        run(contract, "global", 0)  # measured control
+
+
+STUDIES["asian_lookback"] = asian_lookback
+
+
+def neural_cv(n_paths=2_097_152, budget=20000):
+    """Neural control-variate pricing (``evals.neural_cv_value``): the
+    trained net's martingale Σ disc·Zᵀσ dW as an exactly-unbiased control
+    for the discrete-value MC. Measured per contract: the variance-reduction
+    factor (= equal-error path-count speedup), agreement with the
+    independent discrete oracle, and the plain-MC control on the SAME
+    paths. Contracts: vanilla 1D call, Heston (bs head default), and the
+    smooth up-and-out barrier (post_step chain). Beyond-reference: the
+    reference only ever reads trained models back through plots
+    (``1d_BSPDE_case.py:453-464``)."""
+    from dnnpde_tpu.evals import neural_cv_from_trainer
+    from dnnpde_tpu.numerics import discrete_bsde_value
+    from dnnpde_tpu.pde import CallOption1D, HestonPDE, UpAndOutCall
+    from dnnpde_tpu.train import Trainer
+
+    contracts = {
+        "call1d": (CallOption1D(), dict(layers=[2, 256, 256, 256, 256, 1])),
+        "heston": (HestonPDE(), dict(layers=[3, 256, 256, 256, 256, 1])),
+        "barrier": (UpAndOutCall(), dict(layers=[3, 256, 256, 256, 256, 1],
+                                         objective="local")),
+    }
+    for name, (p, kw) in contracts.items():
+        d = discrete_bsde_value(p, N=50, n_paths=4_194_304, seed=99)
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=1024, N=50, mode="FC", activation="Sine",
+                     seed=0, ema_decay=0.999, **kw)
+        half, quarter = budget // 2, budget // 4
+        for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+            tr.train(it, lr, log_every=2000, verbose=False)
+        train_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cv = neural_cv_from_trainer(tr, n_paths=n_paths, seed=7,
+                                    batch=262_144)
+        cv_wall = time.perf_counter() - t0
+        _emit(study="r4_neural_cv", contract=name, budget=budget,
+              n_paths=cv.n_paths, N=cv.N,
+              cv_value=round(cv.value, 7), cv_se=round(cv.standard_error, 9),
+              plain_value=round(cv.plain_value, 7),
+              plain_se=round(cv.plain_standard_error, 9),
+              variance_reduction=round(cv.variance_reduction, 1),
+              c=round(cv.c, 4),
+              oracle_discrete=round(float(d.value), 7),
+              oracle_se=round(float(d.standard_error), 9),
+              z_gap_sigmas=round(
+                  abs(cv.value - d.value)
+                  / float(np.hypot(cv.standard_error, d.standard_error)), 2),
+              train_wall_s=round(train_wall, 1),
+              cv_wall_s=round(cv_wall, 1))
+
+
+STUDIES["neural_cv"] = neural_cv
 
 
 if __name__ == "__main__":

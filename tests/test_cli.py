@@ -202,3 +202,37 @@ def test_scaled_lr_rule():
     assert scaled_lr(512) == pytest.approx(5e-4)
     assert scaled_lr(1024) == pytest.approx(2.5e-4)
     assert scaled_lr(1024, base_lr=2e-3) == pytest.approx(5e-4)
+
+
+def test_cli_cv_price(tmp_path):
+    """--cv-price PATHS attaches the neural-CV MC block to the summary:
+    value/SE plus the measured variance-reduction factor on PATHS paths."""
+    rc = main([
+        "--problem", "call1d", "--D", "1", "--M", "8", "--N", "3",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+        "--cv-price", "4096",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    cv = summary["cv_price"]
+    assert cv["n_paths"] == 4096
+    assert np.isfinite(cv["value"]) and cv["standard_error"] > 0
+    # untrained-scale net: still exactly unbiased, VRF just ~1
+    assert abs(cv["value"] - summary["oracle_y0"]) < 10 * (
+        cv["standard_error"] + cv["plain_standard_error"]
+    )
+
+
+def test_cli_cv_price_nonlinear_driver_reports_error(tmp_path):
+    """bsb's driver is Z-coupled — --cv-price must surface the reason in
+    the summary instead of crashing after the training already ran."""
+    rc = main([
+        "--problem", "bsb", "--D", "4", "--M", "8", "--N", "3",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+        "--cv-price", "1024",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert "error" in summary["cv_price"]

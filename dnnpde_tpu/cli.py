@@ -22,8 +22,8 @@ from pathlib import Path
 import numpy as np
 
 PROBLEMS = ("bsb", "call1d", "callnd", "basket", "testcase", "hjb",
-            "heston", "american_put", "barrier_call", "asian_call",
-            "lookback_call")
+            "heston", "american_put", "heston_american_put", "barrier_call",
+            "asian_call", "lookback_call")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -207,6 +207,13 @@ def make_problem(args):
         # drops the 1-D European-premium head.
         D = 1 if args.D == 100 else args.D
         return pde.AmericanPutOption(D=D, T=args.T, bs_head=(D == 1))
+    if args.problem == "heston_american_put":
+        # American put under Heston — requires objective="local" (the CLI
+        # default resolution below switches it on); bs-put head unless
+        # --heston-output plain
+        return pde.HestonAmericanPut(
+            T=args.T, diffusion=args.heston_diffusion,
+            clamp_output=args.heston_output != "plain")
     if args.problem == "heston":
         if args.heston_output == "plain":
             return pde.HestonPDE(T=args.T, diffusion=args.heston_diffusion,
@@ -275,6 +282,12 @@ def oracle_y0(problem, args) -> float | None:
             float(np.sum(np.asarray(problem.x0))), problem.K, problem.T,
             problem.r, problem.sigma_bar, n_steps=n_tree, payoff="put",
             american=True, exercise_every=n_tree // args.N))
+    if name == "heston_american_put":
+        # no tree exists under Heston — Longstaff–Schwartz on the exact
+        # solver chain (two-pass; low-biased fresh-path policy value)
+        return float(numerics.lsmc_value(
+            problem, N=args.N, n_regression=131_072, n_pricing=524_288,
+            seed=0).value)
     if name == "hjb":
         return float(numerics.hjb_exact_mc(
             jax.random.PRNGKey(0), 0.0, np.zeros(problem.dim), T=problem.T))

@@ -53,6 +53,7 @@ from dnnpde_tpu.numerics.monte_carlo import (
     hjb_exact_mc,
 )
 from dnnpde_tpu.numerics.quadrature import gauss_legendre
+from dnnpde_tpu.numerics.longstaff_schwartz import LSMCValue, lsmc_value
 from dnnpde_tpu.numerics.variance_gamma import (
     VGParams,
     vg_basket_call,
@@ -67,6 +68,8 @@ __all__ = [
     "lookback_call_floating",
     "call_price_grid",
     "crr_binomial",
+    "LSMCValue",
+    "lsmc_value",
     "basket_analytical_approx",
     "bsb_exact_solution",
     "CNGrid",

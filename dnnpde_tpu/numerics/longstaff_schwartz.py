@@ -1,0 +1,204 @@
+"""Longstaff–Schwartz Bermudan MC pricer on the solver's exact Euler chain.
+
+The optimal-stopping counterpart of ``numerics/discrete_bsde.py``: a
+training-free oracle for the Bermudan-N value the REFLECTED local objective
+learns (``solver/bsde.py`` per-step Snell clamp, ARCHITECTURE §6f)
+
+    V_n = max(g(X_n), E_n[V_{n+1}] / (1 + r·Δt)),   V_N = g(X_N),
+
+under the SAME N-step Euler–Maruyama chain (same μ/σ/``sigma_dw``/
+``post_step``/dtype as the training rollout) and the same per-step
+(1+rΔt) discounting. Works for ANY problem with a linear Z-free driver —
+in particular it prices the American put under HESTON dynamics, where no
+binomial tree exists (``numerics.crr_binomial`` covers only 1-D GBM).
+
+Classic two-pass construction (Longstaff & Rezende Schwartz 2001):
+
+1. *Regression pass* (n_regression paths): backward induction on stored
+   states; at each exercise date the continuation value is fit by
+   weighted least squares of the one-step-discounted realized cash flow
+   on a polynomial basis of the state (+ the payoff itself), using
+   in-the-money paths only. This yields a STOPPING POLICY
+   "exercise when g(X_n) > fitted continuation".
+2. *Pricing pass* (n_pricing FRESH paths): the frozen policy is applied
+   to an independent path set; the reported ``value``/``standard_error``
+   is that policy's plain-MC value — LOW-biased (any suboptimal policy
+   under-prices), with no foresight bias. ``in_sample_value`` (the
+   regression pass's own estimate) is also reported; the true Bermudan-N
+   value is bracketed near [value, in_sample_value] in practice.
+
+The regression itself runs on the host in float64 (50 small weighted
+normal-equation solves — conditioning, not throughput, is what matters);
+path simulation is a jitted on-device scan.
+
+No reference counterpart: the reference has no optimal stopping at all
+(its only objective is the European-style global residual,
+``1d_BSPDE_case.py:246-289``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnnpde_tpu.numerics.discrete_bsde import probe_linear_driver
+
+Array = jnp.ndarray
+
+
+class LSMCValue(NamedTuple):
+    """Two-pass Longstaff–Schwartz estimate of the Bermudan-N value."""
+
+    value: float            # out-of-sample policy value (low-biased)
+    standard_error: float   # MC error of the pricing pass
+    in_sample_value: float  # regression-pass estimate (foresight-tinged)
+    n_regression: int
+    n_pricing: int
+    N: int
+    rate: float             # probed driver rate r of φ = r·Y
+
+
+def _simulate_paths(problem, N, n, seed, chol, dtype):
+    """(N, n, D) stacked post-step states X_1..X_N of the solver's chain."""
+    D, Dw, T = problem.dim, problem.noise_dim, problem.T
+    dt = T / N
+    sqrt_dt = np.sqrt(dt)
+    chol_T = None if chol is None else jnp.asarray(chol, dtype).T
+    Yz = jnp.zeros((n, 1), dtype)
+    Zz = jnp.zeros((n, D), dtype)
+    key = jax.random.PRNGKey(seed)
+
+    def step(X0, step_i):
+        kn = jax.random.fold_in(key, step_i)
+        dw = sqrt_dt * jax.random.normal(kn, (n, Dw), dtype)
+        if chol_T is not None:
+            dw = dw @ chol_T
+        t0 = jnp.full((n, 1), step_i * dt, dtype)
+        sig = problem.sigma(t0, X0, Yz)
+        X1 = X0 + problem.mu(t0, X0, Yz, Zz) * dt + problem.sigma_dw(sig, dw)
+        if problem.has_post_step:
+            t1 = jnp.full((n, 1), (step_i + 1) * dt, dtype)
+            X1 = problem.post_step(t1, X1)
+        return X1, X1
+
+    X0 = jnp.broadcast_to(jnp.asarray(problem.x0, dtype), (n, D))
+    _, Xs = jax.jit(lambda x0: jax.lax.scan(step, x0, jnp.arange(N)))(X0)
+    return np.asarray(Xs, np.float32)  # (N, n, D)
+
+
+def _basis(X, g, degree):
+    """Monomials of total degree ≤ ``degree`` over the D state coords,
+    plus the payoff itself (the classic LS extra regressor). (n, B)."""
+    D = X.shape[1]
+    cols = []
+    for powers in itertools.product(range(degree + 1), repeat=D):
+        if sum(powers) <= degree:
+            cols.append(np.prod([X[:, d] ** p
+                                 for d, p in enumerate(powers)], axis=0))
+    cols.append(g)
+    return np.stack(cols, axis=1)
+
+
+def _fit(Phi, y, w, ridge=1e-8):
+    """Weighted ridge normal equations in float64 with standardized
+    features — conditioning beats raw lstsq with cubic terms."""
+    Phi = Phi.astype(np.float64)
+    mu = Phi.mean(axis=0)
+    sd = Phi.std(axis=0)
+    sd[sd < 1e-12] = 1.0
+    Z = (Phi - mu) / sd
+    Z[:, 0] = 1.0  # intercept column stays the intercept
+    A = (Z * w[:, None]).T @ Z
+    A[np.diag_indices_from(A)] += ridge * np.trace(A) / A.shape[0]
+    b = (Z * w[:, None]).T @ y
+    beta = np.linalg.solve(A, b)
+    return beta, mu, sd
+
+
+def _predict(Phi, fit):
+    beta, mu, sd = fit
+    Z = (Phi.astype(np.float64) - mu) / sd
+    Z[:, 0] = 1.0
+    return Z @ beta
+
+
+def lsmc_value(
+    problem,
+    N: int,
+    n_regression: int = 131_072,
+    n_pricing: int = 262_144,
+    degree: int = 3,
+    seed: int = 0,
+    chol: Optional[Array] = None,
+    dtype=jnp.float32,
+) -> LSMCValue:
+    """Price the Bermudan-N contract of an ``early_exercise`` problem.
+
+    Exercise dates are the solver grid t_1..t_N (payoff at t_N is the
+    terminal condition; immediate exercise at t=0 is taken as a final
+    max with ``g(x0)``), matching the reflected local objective's
+    recursion and the ``crr_binomial(..., exercise_every=·)`` convention.
+    Applicability (linear Z-free driver, (Y,Z)-independent dynamics) is
+    probed at runtime exactly like the discrete European oracle.
+    """
+    rate = probe_linear_driver(problem)
+    dt = problem.T / N
+    disc1 = 1.0 / (1.0 + rate * dt)
+
+    def payoff(Xn):
+        return np.asarray(problem.g(jnp.asarray(Xn)), np.float64)[:, 0]
+
+    # --- pass 1: regression ------------------------------------------------
+    Xs = _simulate_paths(problem, N, n_regression, seed, chol, dtype)
+    CF = payoff(Xs[N - 1])  # value at t_N
+    fits = [None] * N  # fits[n] = continuation fit at date t_n (1-indexed -1)
+    min_itm = 16 * (degree + 2)
+    for n in range(N - 1, 0, -1):  # dates t_{N-1} .. t_1
+        Xn = Xs[n - 1]
+        g_n = payoff(Xn)
+        y = CF * disc1  # one-step-discounted realized cash flow
+        itm = g_n > 0.0
+        if itm.sum() >= min_itm:
+            Phi = _basis(Xn.astype(np.float64), g_n, degree)
+            fit = _fit(Phi, y, itm.astype(np.float64))
+            cont = _predict(Phi, fit)
+            ex = itm & (g_n > cont)
+            CF = np.where(ex, g_n, y)
+            fits[n] = fit
+        else:  # too few ITM paths to fit — never exercise at this date
+            CF = y
+    x0 = np.asarray(problem.x0, np.float64)[None, :]
+    g0 = float(payoff(x0.astype(np.float32))[0])
+    in_sample = max(g0, float(CF.mean() * disc1))
+
+    # --- pass 2: fresh paths, frozen policy --------------------------------
+    Xs = _simulate_paths(problem, N, n_pricing, seed + 777_001, chol, dtype)
+    alive = np.ones(n_pricing, bool)
+    pv = np.zeros(n_pricing, np.float64)
+    for n in range(1, N):
+        if fits[n] is None:
+            continue
+        Xn = Xs[n - 1]
+        g_n = payoff(Xn)
+        Phi = _basis(Xn.astype(np.float64), g_n, degree)
+        cont = _predict(Phi, fits[n])
+        ex = alive & (g_n > 0.0) & (g_n > cont)
+        pv[ex] = g_n[ex] * disc1**n
+        alive &= ~ex
+    g_N = payoff(Xs[N - 1])
+    pv[alive] = g_N[alive] * disc1**N
+    value = max(g0, float(pv.mean()))
+    se = float(pv.std() / np.sqrt(n_pricing))
+    return LSMCValue(
+        value=value,
+        standard_error=se,
+        in_sample_value=in_sample,
+        n_regression=n_regression,
+        n_pricing=n_pricing,
+        N=N,
+        rate=rate,
+    )

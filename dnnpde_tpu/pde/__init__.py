@@ -1,7 +1,7 @@
 """PDE problem definitions (the reference's phi/g/mu/sigma zoo, SURVEY.md §2.3)."""
 
 from dnnpde_tpu.pde.base import CallableProblem, PDEProblem, as_callable_problem
-from dnnpde_tpu.pde.heston import HestonPDE
+from dnnpde_tpu.pde.heston import HestonAmericanPut, HestonPDE
 from dnnpde_tpu.pde.problems import (
     AmericanPutOption,
     AsianCallOption,
@@ -30,4 +30,5 @@ __all__ = [
     "LookbackCallOption",
     "UpAndOutCall",
     "HestonPDE",
+    "HestonAmericanPut",
 ]

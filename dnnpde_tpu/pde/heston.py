@@ -277,3 +277,64 @@ class HestonPDE(PDEProblem):
         raise ValueError(
             "Invalid payoff_type; choose 'discontinuous' or 'continuous'."
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class HestonAmericanPut(HestonPDE):
+    """American (Bermudan-N) put under HESTON dynamics — optimal stopping
+    composed with stochastic volatility, a problem class neither piece of
+    the reference can touch (no early exercise anywhere,
+    ``1d_BSPDE_case.py:246-289``; and no binomial tree exists for Heston,
+    so even the classical oracle must change: the matching oracle here is
+    ``numerics.lsmc_value`` — Longstaff–Schwartz on the solver's exact
+    Euler chain, the same scheme-vs-optimization separation as
+    ``numerics.discrete_bsde``).
+
+    Inherits the corrected Cholesky diffusion and the round-4 BS
+    control-variate machinery from :class:`HestonPDE`; overrides the
+    payoff to a put and the bs head to the BS PUT base via put–call
+    parity on the same tanh-CDF call,
+
+        u_cont = BS_put(S, K, τ, √v) + √(τ/T)·raw,
+
+    which is exact at τ=0 (both terminal penalties vanish) and carries
+    the payoff kink analytically; the net learns the smooth stochastic-
+    vol correction PLUS the early-exercise premium (sign-free: the true
+    continuation can sit above or below the BS-at-√v base, so the
+    softplus-positive head of the GBM ``AmericanPutOption`` would be
+    mis-specified here). Requires ``Trainer(objective="local")`` — the
+    per-step detached target is clamped at the payoff (reflected
+    BSDE / Snell recursion), and the served value is
+    ``max(g, u)`` (:meth:`PDEProblem.value_u`).
+    """
+
+    name: str = "HestonAmericanPut"
+
+    @property
+    def early_exercise(self) -> bool:
+        return True
+
+    def g(self, X):
+        S = X[..., 0:1]
+        return jnp.maximum(self.strike - S, 0.0)
+
+    def transform_u(self, t: Array, X: Array, u: Array) -> Array:
+        if not self.clamp_output or self.clamp_smoothing != "bs":
+            # plain output (control arm) or inherited legacy modes on the
+            # CALL payoff make no sense for the put — restrict to bs/plain
+            if self.clamp_output:
+                raise ValueError(
+                    "HestonAmericanPut supports clamp_output=False (plain) "
+                    "or the default bs head only"
+                )
+            return u
+        from dnnpde_tpu.numerics.black_scholes import black_scholes_call
+
+        S, v = X[..., 0:1], X[..., 1:2]
+        tau = jnp.clip(self.T - t, 0.0, None)
+        sig = jnp.sqrt(jnp.clip(v, 1e-8, None))
+        call = black_scholes_call(
+            S, self.strike, tau, self.r, sig, cdf=self.bs_cdf
+        )
+        put = call - S + self.strike * jnp.exp(-self.r * tau)
+        return put + jnp.sqrt(tau / self.T) * u

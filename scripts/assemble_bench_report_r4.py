@@ -40,6 +40,7 @@ LOGS = [
     "results_r4/barrier_call.log",
     "results_r4/asian_lookback.log",
     "results_r4/neural_cv.log",
+    "results_r4/heston_american.log",
     "results_r4/harness.log",
 ]
 

@@ -1033,6 +1033,63 @@ def neural_cv(n_paths=2_097_152, budget=20000):
 STUDIES["neural_cv"] = neural_cv
 
 
+def heston_american(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """American put under HESTON dynamics: optimal stopping composed with
+    stochastic volatility — beyond both the reference (no early exercise)
+    and the GBM American row (no tree exists for Heston; the matching
+    oracle is Longstaff–Schwartz on the solver's exact Euler chain,
+    ``numerics.lsmc_value``, two-pass so the reported value is the
+    low-biased fresh-path policy value). Also emits the exact
+    parity-European bound from the discrete call value of the same chain.
+    Arms: local + bs-put head (default) 3 seeds, plain-output control."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import discrete_bsde_value, lsmc_value
+    from dnnpde_tpu.pde import HestonAmericanPut, HestonPDE
+    from dnnpde_tpu.train import Trainer
+
+    ls = lsmc_value(HestonAmericanPut(), N=N, n_regression=262_144,
+                    n_pricing=1_048_576, seed=99)
+    call = discrete_bsde_value(HestonPDE(clamp_output=False), N=N,
+                               n_paths=4_194_304, seed=98)
+    p0 = HestonAmericanPut()
+    disc = (1.0 + p0.r * p0.T / N) ** (-N)
+    euro_put = call.value - p0.S0 + p0.strike * disc
+    _emit(study="r4_heston_american", row="oracle", N=N,
+          lsmc_value=round(float(ls.value), 7),
+          lsmc_se=round(float(ls.standard_error), 8),
+          lsmc_in_sample=round(float(ls.in_sample_value), 7),
+          parity_euro_put=round(float(euro_put), 7),
+          premium_rel=round(float(ls.value / euro_put - 1.0), 5))
+
+    def run(head, seed):
+        p = HestonAmericanPut(clamp_output=head)
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=M, N=N, layers=[3, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed,
+                     ema_decay=0.999, objective="local")
+        half, quarter = budget // 2, budget // 4
+        for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+            tr.train(it, lr, log_every=2000, verbose=False)
+        u, _ = tr.net_u(tr.ema_params, jnp.zeros((1, 1)), p.x0[None, :])
+        y0 = float(p.value_u(p.x0[None, :], u)[0, 0])
+        _emit(study="r4_heston_american", head="bs" if head else "plain",
+              seed=seed, M=M, N=N, budget=budget, learned_y0=round(y0, 6),
+              oracle_lsmc=round(float(ls.value), 6),
+              rel_err=round(abs(y0 - ls.value) / ls.value, 5),
+              premium_captured=round(
+                  (y0 - euro_put) / (ls.value - euro_put), 4),
+              wall_time_s=round(time.perf_counter() - t0, 1),
+              **({} if head else {"semantics": "lever-shootout"}))
+
+    for seed in seeds:
+        run(True, seed)
+    run(False, 0)  # plain-output control
+
+
+STUDIES["heston_american"] = heston_american
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args:

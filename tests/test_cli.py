@@ -236,3 +236,18 @@ def test_cli_cv_price_nonlinear_driver_reports_error(tmp_path):
     assert rc == 0
     summary = json.loads((tmp_path / "summary.json").read_text())
     assert "error" in summary["cv_price"]
+
+
+def test_cli_heston_american_put(tmp_path):
+    """--problem heston_american_put: objective auto-resolves to local
+    (early exercise), oracle is the LSMC policy value on the exact chain."""
+    rc = main([
+        "--problem", "heston_american_put", "--M", "8", "--N", "4",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert np.isfinite(summary["learned_y0"])
+    # ATM Heston put at v0=0.2: European ~0.15, premium on top
+    assert 0.12 < summary["oracle_y0"] < 0.22

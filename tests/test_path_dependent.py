@@ -59,10 +59,12 @@ class TestClosedForms:
         assert abs(cf - pay.mean()) < 4 * pay.std() / np.sqrt(M)
 
     def test_lookback_gsg_brackets_discrete_mc(self):
-        """GSG continuous value sits just above a fine-grid (N=2000) exact
-        GBM discrete MC — gap ≈ β₁σ√(T/N) (Broadie–Glasserman–Kou)."""
+        """GSG continuous value sits just above a fine-grid (N=400) exact
+        GBM discrete MC — gap ≈ β₁σ√(T/N) (Broadie–Glasserman–Kou).
+        (Sized for a 1-core CI host: 32k×400 ≈ 13M normals, a few seconds;
+        the bracket window scales as √(1/N) so the assertion stays sharp.)"""
         rng = np.random.default_rng(1)
-        N, M = 2000, 100_000
+        N, M = 400, 32_768
         logS = np.cumsum(
             (0.05 - 0.02) / N + 0.2 * np.sqrt(1.0 / N) * rng.standard_normal((M, N)),
             axis=1,
@@ -70,9 +72,10 @@ class TestClosedForms:
         S = np.exp(logS)
         m = np.minimum(S.min(axis=1), 1.0)
         disc = np.exp(-0.05) * (S[:, -1] - m)
+        se = disc.std() / np.sqrt(M)
         cf = lookback_call_floating(1.0, 1.0, 0.05, 0.2)
-        gap = 0.5826 * 0.2 * np.sqrt(1.0 / N)  # ≈ 0.0026
-        assert disc.mean() < cf < disc.mean() + 2.5 * gap
+        gap = 0.5826 * 0.2 * np.sqrt(1.0 / N)  # ≈ 0.0058
+        assert disc.mean() - 3 * se < cf < disc.mean() + 2.0 * gap + 3 * se
 
 
 class TestAsian:

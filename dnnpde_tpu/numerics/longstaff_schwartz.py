@@ -62,7 +62,7 @@ class LSMCValue(NamedTuple):
     rate: float             # probed driver rate r of φ = r·Y
 
 
-def _simulate_paths(problem, N, n, seed, chol, dtype):
+def _simulate_paths(problem, N, n, seed, chol, dtype, x0=None):
     """(N, n, D) stacked post-step states X_1..X_N of the solver's chain."""
     D, Dw, T = problem.dim, problem.noise_dim, problem.T
     dt = T / N
@@ -85,7 +85,8 @@ def _simulate_paths(problem, N, n, seed, chol, dtype):
             X1 = problem.post_step(t1, X1)
         return X1, X1
 
-    X0 = jnp.broadcast_to(jnp.asarray(problem.x0, dtype), (n, D))
+    x0 = problem.x0 if x0 is None else x0
+    X0 = jnp.broadcast_to(jnp.asarray(x0, dtype), (n, D))
     _, Xs = jax.jit(lambda x0: jax.lax.scan(step, x0, jnp.arange(N)))(X0)
     return np.asarray(Xs, np.float32)  # (N, n, D)
 
@@ -135,6 +136,7 @@ def lsmc_value(
     seed: int = 0,
     chol: Optional[Array] = None,
     dtype=jnp.float32,
+    x0: Optional[Array] = None,
 ) -> LSMCValue:
     """Price the Bermudan-N contract of an ``early_exercise`` problem.
 
@@ -144,6 +146,9 @@ def lsmc_value(
     recursion and the ``crr_binomial(..., exercise_every=·)`` convention.
     Applicability (linear Z-free driver, (Y,Z)-independent dynamics) is
     probed at runtime exactly like the discrete European oracle.
+    ``x0`` overrides the starting state — the hook surface grading uses
+    to score a trained value SURFACE against per-point LSMC values
+    (mirrors ``discrete_bsde_surface``).
     """
     rate = probe_linear_driver(problem)
     dt = problem.T / N
@@ -153,7 +158,7 @@ def lsmc_value(
         return np.asarray(problem.g(jnp.asarray(Xn)), np.float64)[:, 0]
 
     # --- pass 1: regression ------------------------------------------------
-    Xs = _simulate_paths(problem, N, n_regression, seed, chol, dtype)
+    Xs = _simulate_paths(problem, N, n_regression, seed, chol, dtype, x0)
     CF = payoff(Xs[N - 1])  # value at t_N
     fits = [None] * N  # fits[n] = continuation fit at date t_n (1-indexed -1)
     min_itm = 16 * (degree + 2)
@@ -171,12 +176,14 @@ def lsmc_value(
             fits[n] = fit
         else:  # too few ITM paths to fit — never exercise at this date
             CF = y
-    x0 = np.asarray(problem.x0, np.float64)[None, :]
-    g0 = float(payoff(x0.astype(np.float32))[0])
+    x0_row = np.asarray(problem.x0 if x0 is None else x0,
+                        np.float64)[None, :]
+    g0 = float(payoff(x0_row.astype(np.float32))[0])
     in_sample = max(g0, float(CF.mean() * disc1))
 
     # --- pass 2: fresh paths, frozen policy --------------------------------
-    Xs = _simulate_paths(problem, N, n_pricing, seed + 777_001, chol, dtype)
+    Xs = _simulate_paths(problem, N, n_pricing, seed + 777_001, chol, dtype,
+                         x0)
     alive = np.ones(n_pricing, bool)
     pv = np.zeros(n_pricing, np.float64)
     for n in range(1, N):

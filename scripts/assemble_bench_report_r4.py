@@ -41,6 +41,8 @@ LOGS = [
     "results_r4/asian_lookback.log",
     "results_r4/neural_cv.log",
     "results_r4/heston_american.log",
+    "results_r4/heston_american_surface.log",
+    "results_r4/pipeline_throughput.log",
     "results_r4/harness.log",
 ]
 

@@ -1090,6 +1090,75 @@ def heston_american(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
 STUDIES["heston_american"] = heston_american
 
 
+def heston_american_surface(seed_list=(0, 1), N=50, M=1024, budget=20000,
+                            x0_scale=0.25):
+    """Surface-mode American put under Heston: train once over the
+    lognormal (S, v) X0 region, grade the t=0 VALUE surface and the
+    EARLY-EXERCISE PREMIUM surface against per-point oracles on a 5×3
+    (S, v) grid — LSMC (per-point policy value) for the American leg and
+    the exact discrete-chain parity bound for the European leg. The
+    premium is the hard part: it is the entire quantity the net's head
+    leaves to be learned."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import discrete_bsde_surface, lsmc_value
+    from dnnpde_tpu.pde import HestonAmericanPut, HestonPDE
+    from dnnpde_tpu.sim import lognormal_x0
+    from dnnpde_tpu.train import Trainer
+
+    p = HestonAmericanPut()
+    S_grid = (0.8, 0.9, 1.0, 1.1, 1.2)
+    v_grid = (0.1, 0.2, 0.3)
+    pts = np.array([[s, v] for v in v_grid for s in S_grid], np.float32)
+    disc = (1.0 + p.r * p.T / N) ** (-N)
+
+    # per-point oracles (training-free)
+    t0 = time.perf_counter()
+    amer = np.array([
+        lsmc_value(p, N=N, n_regression=131_072, n_pricing=262_144,
+                   seed=97, x0=pt).value
+        for pt in pts
+    ])
+    calls = discrete_bsde_surface(HestonPDE(clamp_output=False), N=N,
+                                  x0s=pts, n_paths=1_048_576, seed=96)
+    euro = np.array([c.value for c in calls]) - pts[:, 0] + p.strike * disc
+    prem = amer - euro
+    _emit(study="r4_heston_american_surface", row="oracle", N=N,
+          n_points=len(pts),
+          amer_range=[round(float(amer.min()), 5),
+                      round(float(amer.max()), 5)],
+          premium_range=[round(float(prem.min()), 5),
+                         round(float(prem.max()), 5)],
+          oracle_wall_s=round(time.perf_counter() - t0, 1))
+
+    X = jnp.asarray(pts)
+    t0s = jnp.zeros((len(pts), 1))
+    for seed in seed_list:
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=M, N=N, layers=[3, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed,
+                     ema_decay=0.999, objective="local",
+                     x0_sampler=lognormal_x0(p.x0, x0_scale))
+        half, quarter = budget // 2, budget // 4
+        for it, lr in ((half, 1e-3), (quarter, 1e-4), (quarter, 1e-5)):
+            tr.train(it, lr, log_every=2000, verbose=False)
+        u, _ = tr.net_u(tr.ema_params, t0s, X)
+        val = np.asarray(p.value_u(X, u))[:, 0]
+        rel_l2 = float(np.linalg.norm(val - amer) / np.linalg.norm(amer))
+        prem_model = val - euro
+        prem_mae = float(np.abs(prem_model - prem).mean())
+        _emit(study="r4_heston_american_surface", seed=seed, M=M, N=N,
+              budget=budget, x0_scale=x0_scale,
+              value_rel_l2=round(rel_l2, 5),
+              max_abs_err=round(float(np.abs(val - amer).max()), 6),
+              premium_mae=round(prem_mae, 6),
+              premium_mean=round(float(prem.mean()), 6),
+              wall_time_s=round(time.perf_counter() - t0, 1))
+
+
+STUDIES["heston_american_surface"] = heston_american_surface
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if not args:

@@ -77,6 +77,9 @@ class TestUnbiasedness:
 
 class TestVarianceReduction:
     def test_trained_net_reduces_variance(self, call1d, trained, call1d_oracle):
+        """One body for both the EMA and raw-params reads: the trained
+        fixture is the expensive part, and module fixtures rebuild per
+        xdist worker — splitting this in two doubled the suite cost."""
         cv = neural_cv_from_trainer(trained, n_paths=M_PATHS, seed=0)
         assert cv.N == N
         # CPU-budget net: expect an order of magnitude; assert a safe floor
@@ -86,13 +89,11 @@ class TestVarianceReduction:
         assert 0.7 < cv.c < 1.3, cv.c
         tol = 4.0 * np.hypot(cv.standard_error, call1d_oracle.standard_error)
         assert abs(cv.value - call1d_oracle.value) < tol
-
-    def test_raw_params_read(self, trained, call1d_oracle):
-        cv = neural_cv_from_trainer(trained, n_paths=M_PATHS, seed=3,
-                                    use_ema=False)
-        assert cv.variance_reduction > 5.0
-        tol = 4.0 * np.hypot(cv.standard_error, call1d_oracle.standard_error)
-        assert abs(cv.value - call1d_oracle.value) < tol
+        raw = neural_cv_from_trainer(trained, n_paths=M_PATHS, seed=3,
+                                     use_ema=False)
+        assert raw.variance_reduction > 5.0
+        tol = 4.0 * np.hypot(raw.standard_error, call1d_oracle.standard_error)
+        assert abs(raw.value - call1d_oracle.value) < tol
 
 
 class TestPathDependent:

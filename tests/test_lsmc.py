@@ -127,3 +127,13 @@ def test_heston_american_trains_to_lsmc():
     y0 = float(p.value_u(p.x0[None, :], u)[0, 0])
     rel = abs(y0 - ls.value) / ls.value
     assert rel < 0.05, f"heston american rel err {rel:.4f} vs {ls.value:.5f}"
+
+
+def test_lsmc_x0_override_monotone_in_moneyness():
+    """Deep-ITM put start is worth at least intrinsic and more than ATM."""
+    p = AmericanPutOption()
+    itm = lsmc_value(p, N=N, n_regression=32_768, n_pricing=65_536, seed=3,
+                     x0=np.asarray([0.8], np.float32))
+    atm = lsmc_value(p, N=N, n_regression=32_768, n_pricing=65_536, seed=3)
+    assert itm.value >= 0.2 - 1e-6  # immediate-exercise floor (f32 payoff)
+    assert itm.value > atm.value

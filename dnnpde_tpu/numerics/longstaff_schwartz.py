@@ -60,10 +60,21 @@ class LSMCValue(NamedTuple):
     n_pricing: int
     N: int
     rate: float             # probed driver rate r of φ = r·Y
+    # set when a cv_net was supplied (neural control variate on the
+    # STOPPED process — see lsmc_value docstring):
+    cv_variance_reduction: float = 1.0
+    cv_c: float = 0.0
+    plain_value: Optional[float] = None  # same paths, no control
 
 
-def _simulate_paths(problem, N, n, seed, chol, dtype, x0=None):
-    """(N, n, D) stacked post-step states X_1..X_N of the solver's chain."""
+def _simulate_paths(problem, N, n, seed, chol, dtype, x0=None,
+                    cv_net=None, rate=0.0):
+    """(N, n, D) stacked post-step states X_1..X_N of the solver's chain.
+
+    With ``cv_net = (net_u, params)``, also returns the (N, n) per-step
+    discounted martingale increments (1+rΔt)^{-(step+1)}·Z_θᵀσΔW computed
+    IN the scan at the pre-transition state — the stopped-process control
+    variate (each increment has zero conditional mean for any θ)."""
     D, Dw, T = problem.dim, problem.noise_dim, problem.T
     dt = T / N
     sqrt_dt = np.sqrt(dt)
@@ -71,6 +82,8 @@ def _simulate_paths(problem, N, n, seed, chol, dtype, x0=None):
     Yz = jnp.zeros((n, 1), dtype)
     Zz = jnp.zeros((n, D), dtype)
     key = jax.random.PRNGKey(seed)
+    step_disc = jnp.asarray((1.0 + rate * dt) ** (-(np.arange(N) + 1.0)),
+                            dtype)
 
     def step(X0, step_i):
         kn = jax.random.fold_in(key, step_i)
@@ -79,16 +92,26 @@ def _simulate_paths(problem, N, n, seed, chol, dtype, x0=None):
             dw = dw @ chol_T
         t0 = jnp.full((n, 1), step_i * dt, dtype)
         sig = problem.sigma(t0, X0, Yz)
+        if cv_net is not None:
+            net_u, params = cv_net
+            _, Z = net_u(params, t0, X0)
+            minc = step_disc[step_i] * problem.z_sigma_dw(Z, sig, dw)[:, 0]
+        else:
+            minc = jnp.zeros((n,), dtype)
         X1 = X0 + problem.mu(t0, X0, Yz, Zz) * dt + problem.sigma_dw(sig, dw)
         if problem.has_post_step:
             t1 = jnp.full((n, 1), (step_i + 1) * dt, dtype)
             X1 = problem.post_step(t1, X1)
-        return X1, X1
+        return X1, (X1, minc)
 
     x0 = problem.x0 if x0 is None else x0
     X0 = jnp.broadcast_to(jnp.asarray(x0, dtype), (n, D))
-    _, Xs = jax.jit(lambda x0: jax.lax.scan(step, x0, jnp.arange(N)))(X0)
-    return np.asarray(Xs, np.float32)  # (N, n, D)
+    _, (Xs, Minc) = jax.jit(
+        lambda x0: jax.lax.scan(step, x0, jnp.arange(N))
+    )(X0)
+    if cv_net is None:
+        return np.asarray(Xs, np.float32), None
+    return np.asarray(Xs, np.float32), np.asarray(Minc, np.float64)
 
 
 def _basis(X, g, degree):
@@ -137,6 +160,8 @@ def lsmc_value(
     chol: Optional[Array] = None,
     dtype=jnp.float32,
     x0: Optional[Array] = None,
+    cv_net_u=None,
+    cv_params=None,
 ) -> LSMCValue:
     """Price the Bermudan-N contract of an ``early_exercise`` problem.
 
@@ -149,6 +174,16 @@ def lsmc_value(
     ``x0`` overrides the starting state — the hook surface grading uses
     to score a trained value SURFACE against per-point LSMC values
     (mirrors ``discrete_bsde_surface``).
+
+    ``cv_net_u``/``cv_params`` (the training-identical ``Trainer.net_u``
+    callable + parameters) enable the neural control variate on the
+    STOPPED process: the pricing-pass estimator becomes
+    ``payoff_τ − c·m_τ`` with ``m_τ = Σ_{n<τ} (1+rΔt)^{-(n+1)} Z_θᵀσΔW_n``.
+    By optional stopping, E[m_τ] = 0 exactly for ANY θ (τ ≤ N is adapted:
+    the exercise decision at each date reads only the current state), so
+    unbiasedness is preserved and the net's accuracy only shrinks the
+    variance — the same exactness argument as ``evals.neural_cv_value``,
+    extended to the stopping time.
     """
     rate = probe_linear_driver(problem)
     dt = problem.T / N
@@ -158,7 +193,7 @@ def lsmc_value(
         return np.asarray(problem.g(jnp.asarray(Xn)), np.float64)[:, 0]
 
     # --- pass 1: regression ------------------------------------------------
-    Xs = _simulate_paths(problem, N, n_regression, seed, chol, dtype, x0)
+    Xs, _ = _simulate_paths(problem, N, n_regression, seed, chol, dtype, x0)
     CF = payoff(Xs[N - 1])  # value at t_N
     fits = [None] * N  # fits[n] = continuation fit at date t_n (1-indexed -1)
     min_itm = 16 * (degree + 2)
@@ -182,10 +217,12 @@ def lsmc_value(
     in_sample = max(g0, float(CF.mean() * disc1))
 
     # --- pass 2: fresh paths, frozen policy --------------------------------
-    Xs = _simulate_paths(problem, N, n_pricing, seed + 777_001, chol, dtype,
-                         x0)
+    cv_net = None if cv_net_u is None else (cv_net_u, cv_params)
+    Xs, Minc = _simulate_paths(problem, N, n_pricing, seed + 777_001, chol,
+                               dtype, x0, cv_net=cv_net, rate=rate)
     alive = np.ones(n_pricing, bool)
     pv = np.zeros(n_pricing, np.float64)
+    tau = np.full(n_pricing, N, np.int64)  # exercise date (N = maturity)
     for n in range(1, N):
         if fits[n] is None:
             continue
@@ -195,9 +232,24 @@ def lsmc_value(
         cont = _predict(Phi, fits[n])
         ex = alive & (g_n > 0.0) & (g_n > cont)
         pv[ex] = g_n[ex] * disc1**n
+        tau[ex] = n
         alive &= ~ex
     g_N = payoff(Xs[N - 1])
     pv[alive] = g_N[alive] * disc1**N
+
+    cv_vrf, cv_c, plain_value = 1.0, 0.0, None
+    if Minc is not None:
+        # m_τ = Σ_{n<τ} increments: exercise at date n uses the first n
+        # increments (steps 0..n−1) — cumulative sum row τ−1
+        Mcum = np.cumsum(Minc, axis=0)  # (N, n_pricing)
+        m_tau = Mcum[tau - 1, np.arange(n_pricing)]
+        var_p = pv.var()
+        var_m = max(m_tau.var(), 1e-300)
+        cov = np.cov(pv, m_tau, ddof=0)[0, 1]
+        cv_c = float(cov / var_m)
+        plain_value = max(g0, float(pv.mean()))
+        pv = pv - cv_c * m_tau
+        cv_vrf = float(var_p / max(pv.var(), 1e-300))
     value = max(g0, float(pv.mean()))
     se = float(pv.std() / np.sqrt(n_pricing))
     return LSMCValue(
@@ -208,4 +260,7 @@ def lsmc_value(
         n_pricing=n_pricing,
         N=N,
         rate=rate,
+        cv_variance_reduction=cv_vrf,
+        cv_c=cv_c,
+        plain_value=plain_value,
     )

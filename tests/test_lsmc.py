@@ -137,3 +137,20 @@ def test_lsmc_x0_override_monotone_in_moneyness():
     atm = lsmc_value(p, N=N, n_regression=32_768, n_pricing=65_536, seed=3)
     assert itm.value >= 0.2 - 1e-6  # immediate-exercise floor (f32 payoff)
     assert itm.value > atm.value
+
+
+def test_cv_boosted_lsmc(bs_put, bs_lsmc):
+    """Neural control variate on the STOPPED process: optional stopping
+    keeps E[m_tau]=0 exactly, so the CV value agrees with the plain LSMC
+    on the same paths while the variance drops (the bs_head makes even a
+    fresh net's martingale useful — the head carries the European Z)."""
+    from dnnpde_tpu.train import Trainer
+
+    tr = Trainer(bs_put, M=64, N=N, layers=[2, 32, 32, 1], mode="FC",
+                 activation="Sine", seed=3, objective="local")
+    cv = lsmc_value(bs_put, N=N, n_regression=65_536, n_pricing=131_072,
+                    seed=0, cv_net_u=tr.net_u, cv_params=tr.params)
+    assert cv.cv_variance_reduction > 3.0, cv.cv_variance_reduction
+    assert cv.plain_value == bs_lsmc.value  # same paths, same policy
+    tol = 4.0 * np.hypot(cv.standard_error, bs_lsmc.standard_error)
+    assert abs(cv.value - bs_lsmc.value) < tol

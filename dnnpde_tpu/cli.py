@@ -399,25 +399,46 @@ def main(argv=None) -> int:
         "iters_per_sec": sum(args.iters) / wall,
     }
     if args.cv_price:
-        from dnnpde_tpu.evals import neural_cv_from_trainer
-
         try:
-            cv = neural_cv_from_trainer(
-                trainer, n_paths=args.cv_price,
-                use_ema=args.ema_decay is not None,
-            )
+            if getattr(problem, "early_exercise", False):
+                # optimal stopping: the CV applies to the STOPPED process —
+                # CV-boosted LSMC (numerics/longstaff_schwartz.py)
+                from dnnpde_tpu import numerics
+
+                params = (trainer.ema_params if args.ema_decay is not None
+                          else trainer.params)
+                ls = numerics.lsmc_value(
+                    problem, N=args.N,
+                    n_regression=min(131_072, args.cv_price),
+                    n_pricing=args.cv_price, seed=0,
+                    cv_net_u=trainer.net_u, cv_params=params,
+                )
+                summary["cv_price"] = {
+                    "value": ls.value, "standard_error": ls.standard_error,
+                    "plain_value": ls.plain_value,
+                    "variance_reduction": ls.cv_variance_reduction,
+                    "c": ls.cv_c, "n_paths": ls.n_pricing,
+                    "estimator": "cv_lsmc",
+                }
+            else:
+                from dnnpde_tpu.evals import neural_cv_from_trainer
+
+                cv = neural_cv_from_trainer(
+                    trainer, n_paths=args.cv_price,
+                    use_ema=args.ema_decay is not None,
+                )
+                summary["cv_price"] = {
+                    "value": cv.value, "standard_error": cv.standard_error,
+                    "plain_value": cv.plain_value,
+                    "plain_standard_error": cv.plain_standard_error,
+                    "variance_reduction": cv.variance_reduction,
+                    "c": cv.c, "n_paths": cv.n_paths,
+                    "estimator": "cv_mc",
+                }
         except ValueError as e:
             # nonlinear/Z-coupled driver (bsb, hjb): the telescoped MC target
             # does not exist — report why instead of discarding the training
             summary["cv_price"] = {"error": str(e)}
-        else:
-            summary["cv_price"] = {
-                "value": cv.value, "standard_error": cv.standard_error,
-                "plain_value": cv.plain_value,
-                "plain_standard_error": cv.plain_standard_error,
-                "variance_reduction": cv.variance_reduction,
-                "c": cv.c, "n_paths": cv.n_paths,
-            }
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     if args.checkpoint:
         trainer.save_model(args.checkpoint)

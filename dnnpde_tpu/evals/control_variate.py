@@ -84,6 +84,15 @@ def neural_cv_value(
     (introduces an O(1/n_paths) bias, negligible at these path counts);
     pass ``c=1.0`` for the strictly unbiased estimator.
     """
+    if getattr(problem, "early_exercise", False):
+        raise ValueError(
+            f"{getattr(problem, 'name', type(problem).__name__)}: the "
+            "telescoped estimator targets the EUROPEAN discrete value "
+            "D(N) and would silently ignore early exercise — price "
+            "optimal-stopping contracts with numerics.lsmc_value("
+            "cv_net_u=…) instead (the same control variate, applied to "
+            "the stopped process)"
+        )
     rate = probe_linear_driver(problem)
     D, Dw, T = problem.dim, problem.noise_dim, problem.T
     dt = T / N

@@ -251,3 +251,20 @@ def test_cli_heston_american_put(tmp_path):
     assert np.isfinite(summary["learned_y0"])
     # ATM Heston put at v0=0.2: European ~0.15, premium on top
     assert 0.12 < summary["oracle_y0"] < 0.22
+
+
+def test_cli_cv_price_american_routes_to_lsmc(tmp_path):
+    """--cv-price on an early-exercise problem must price the STOPPED
+    process (CV-boosted LSMC), not the European telescoped value."""
+    rc = main([
+        "--problem", "american_put", "--M", "8", "--N", "4",
+        "--width", "8", "--depth", "2", "--iters", "4", "2",
+        "--out", str(tmp_path), "--quiet", "--log-every", "4",
+        "--cv-price", "8192",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    cv = summary["cv_price"]
+    assert cv["estimator"] == "cv_lsmc"
+    # the Bermudan value, not the European one: compare vs the tree oracle
+    assert abs(cv["value"] - summary["oracle_y0"]) / summary["oracle_y0"] < 0.05

@@ -118,3 +118,15 @@ def test_rejects_nonlinear_driver():
                  activation="Sine", seed=0)
     with pytest.raises(ValueError):
         neural_cv_value(p, tr.net_u, tr.params, N=4, n_paths=1024)
+
+
+def test_rejects_early_exercise_problem():
+    """The telescoped estimator is European — American contracts must be
+    routed to the CV-boosted LSMC, not silently priced European."""
+    from dnnpde_tpu.pde import AmericanPutOption
+
+    p = AmericanPutOption()
+    tr = Trainer(p, M=32, N=4, layers=[2, 16, 1], mode="FC",
+                 activation="Sine", seed=0, objective="local")
+    with pytest.raises(ValueError, match="lsmc_value"):
+        neural_cv_value(p, tr.net_u, tr.params, N=4, n_paths=1024)

@@ -118,6 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "simulated paths, reports the CV value, SE, and "
                         "the measured variance-reduction factor "
                         "(linear-driver problems only)")
+    p.add_argument("--qmc", action="store_true",
+                   help="use the randomized-QMC (Sobol + Brownian bridge) "
+                        "discrete oracle where one applies "
+                        "(barrier/Asian/lookback)")
     p.add_argument("--resume", default=None, help="load checkpoint before training")
     p.add_argument("--out", default="results", help="output directory")
     p.add_argument("--log-every", type=int, default=100)
@@ -271,7 +275,13 @@ def oracle_y0(problem, args) -> float | None:
         )
         return float(mc)
     if name in ("barrier_call", "asian_call", "lookback_call"):
-        # matching discrete oracle: same Euler + post_step chain
+        # matching discrete oracle: same Euler + post_step chain.
+        # --qmc swaps the pseudo-random draws for Owen-scrambled Sobol with
+        # Brownian-bridge ordering (same unbiased value, far smaller SE).
+        if getattr(args, "qmc", False):
+            q = numerics.discrete_bsde_value_qmc(
+                problem, N=args.N, n_paths=65_536, n_replicates=16, seed=0)
+            return float(q.value)
         d = numerics.discrete_bsde_value(problem, N=args.N,
                                          n_paths=1_048_576, seed=0)
         return float(d.value)

@@ -52,6 +52,12 @@ from dnnpde_tpu.numerics.monte_carlo import (
     basket_price_paths_mc,
     hjb_exact_mc,
 )
+from dnnpde_tpu.numerics.qmc import (
+    QMCValue,
+    brownian_bridge_order,
+    discrete_bsde_value_qmc,
+    sobol_brownian_increments,
+)
 from dnnpde_tpu.numerics.quadrature import gauss_legendre
 from dnnpde_tpu.numerics.longstaff_schwartz import LSMCValue, lsmc_value
 from dnnpde_tpu.numerics.variance_gamma import (
@@ -91,6 +97,10 @@ __all__ = [
     "discrete_bsde_surface",
     "discrete_bsde_value",
     "probe_linear_driver",
+    "QMCValue",
+    "brownian_bridge_order",
+    "discrete_bsde_value_qmc",
+    "sobol_brownian_increments",
     "basket_call_mc",
     "basket_delta_mc",
     "basket_price_paths_mc",

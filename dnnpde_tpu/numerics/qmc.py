@@ -24,8 +24,9 @@ The chain itself is the solver's exact jitted Euler recursion (same μ, σ,
 are generated host-side (scipy owns the direction numbers), transformed to
 increments, and the N-step rollout runs on device.
 
-Measured (results_r4/qmc_oracle.log): equal-path-count SE vs the
-pseudo-random oracle on the 1D call / Heston chains — see the JSONL rows.
+Measured (results_r5/qmc_oracle.log): equal-path-count SE vs the
+pseudo-random oracle on the 1D call / Heston chains, plus the n^-alpha
+convergence-rate fit per replicate size.
 """
 
 from __future__ import annotations
@@ -121,9 +122,10 @@ def sobol_brownian_increments(
 
     ``bridge=True`` applies the Brownian-bridge ordering (terminal point
     first); ``bridge=False`` maps Sobol coordinates to steps in time order
-    (useful as an ablation). ``n`` is rounded up to the next power of two —
-    Sobol's balance properties hold at powers of two; callers should pass
-    powers of two to avoid surprise.
+    (useful as an ablation). ``n`` is rounded UP to the next power of two
+    and the FULL 2^m point set is returned (its first axis may therefore
+    be larger than ``n``) — truncating a Sobol sequence off a power of two
+    silently destroys its balance properties, so we never do it.
     """
     dim = N * Dw
     if dim > _SOBOL_MAX_DIM:
@@ -132,8 +134,9 @@ def sobol_brownian_increments(
             f"({_SOBOL_MAX_DIM}); use the pseudo-random oracle"
         )
     m = int(np.ceil(np.log2(max(n, 2))))
+    n = 1 << m
     eng = _qmc.Sobol(d=dim, scramble=True, seed=seed)
-    u = eng.random_base2(m)[:n]
+    u = eng.random_base2(m)
     # Scrambling keeps points in (0,1) almost surely; clip for ppf safety.
     z = _norm.ppf(np.clip(u, 1e-12, 1.0 - 1e-12)).astype(np.float64)
     # Coordinate k*Dw+j → bridge position k, noise dim j: each noise dim
@@ -237,10 +240,13 @@ def discrete_bsde_value_qmc(
         if cache_key is not None:
             _KERNELS[cache_key] = fn
     x0 = jnp.asarray(problem.x0 if x0 is None else x0, dtype)
+    # Increments at the kernel's own precision: a float64 kernel request
+    # must not silently run on float32 increments.
+    inc_dtype = np.dtype(jnp.dtype(dtype).name)
     means = np.empty(n_replicates, np.float64)
     for r in range(n_replicates):
         dW = sobol_brownian_increments(
-            n, N, Dw, dt, seed=seed + 7919 * r, dtype=np.float32,
+            n, N, Dw, dt, seed=seed + 7919 * r, dtype=inc_dtype,
             bridge=bridge,
         )
         means[r] = float(fn(x0, jnp.asarray(dW))) / n

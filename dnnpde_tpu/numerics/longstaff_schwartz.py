@@ -12,7 +12,7 @@ under the SAME N-step Euler–Maruyama chain (same μ/σ/``sigma_dw``/
 in particular it prices the American put under HESTON dynamics, where no
 binomial tree exists (``numerics.crr_binomial`` covers only 1-D GBM).
 
-Classic two-pass construction (Longstaff & Rezende Schwartz 2001):
+Classic two-pass construction (Longstaff & Schwartz 2001):
 
 1. *Regression pass* (n_regression paths): backward induction on stored
    states; at each exercise date the continuation value is fit by
@@ -61,7 +61,14 @@ class LSMCValue(NamedTuple):
     N: int
     rate: float             # probed driver rate r of φ = r·Y
     # set when a cv_net was supplied (neural control variate on the
-    # STOPPED process — see lsmc_value docstring):
+    # STOPPED process — see lsmc_value docstring). NOTE: when the control
+    # coefficient is FITTED (cv_c=None at call time), ĉ is estimated on
+    # the same pricing paths it is applied to — an O(1/n_pricing) bias
+    # (negligible at the default 262k paths but not zero), and the
+    # reported ``standard_error`` ignores the ĉ-estimation variance term.
+    # Pass ``cv_c=1.0`` to lsmc_value for a strictly unbiased estimator
+    # with an exact SE (the net's theoretical coefficient; matches
+    # evals.control_variate's ``c=1.0`` convention).
     cv_variance_reduction: float = 1.0
     cv_c: float = 0.0
     plain_value: Optional[float] = None  # same paths, no control
@@ -162,6 +169,7 @@ def lsmc_value(
     x0: Optional[Array] = None,
     cv_net_u=None,
     cv_params=None,
+    cv_c: Optional[float] = None,
 ) -> LSMCValue:
     """Price the Bermudan-N contract of an ``early_exercise`` problem.
 
@@ -184,6 +192,12 @@ def lsmc_value(
     unbiasedness is preserved and the net's accuracy only shrinks the
     variance — the same exactness argument as ``evals.neural_cv_value``,
     extended to the stopping time.
+
+    ``cv_c`` fixes the control coefficient (e.g. 1.0, the net's own
+    theoretical value); ``None`` fits ĉ = Cov(pv, m_τ)/Var(m_τ) on the
+    pricing paths themselves — slightly more variance reduction at the
+    cost of an O(1/n_pricing) bias and an SE that omits the ĉ-estimation
+    term (see the LSMCValue note).
     """
     rate = probe_linear_driver(problem)
     dt = problem.T / N
@@ -237,16 +251,21 @@ def lsmc_value(
     g_N = payoff(Xs[N - 1])
     pv[alive] = g_N[alive] * disc1**N
 
-    cv_vrf, cv_c, plain_value = 1.0, 0.0, None
-    if Minc is not None:
+    cv_vrf, plain_value = 1.0, None
+    if Minc is None:
+        cv_c = 0.0
+    else:
         # m_τ = Σ_{n<τ} increments: exercise at date n uses the first n
         # increments (steps 0..n−1) — cumulative sum row τ−1
         Mcum = np.cumsum(Minc, axis=0)  # (N, n_pricing)
         m_tau = Mcum[tau - 1, np.arange(n_pricing)]
         var_p = pv.var()
-        var_m = max(m_tau.var(), 1e-300)
-        cov = np.cov(pv, m_tau, ddof=0)[0, 1]
-        cv_c = float(cov / var_m)
+        if cv_c is None:
+            var_m = max(m_tau.var(), 1e-300)
+            cov = np.cov(pv, m_tau, ddof=0)[0, 1]
+            cv_c = float(cov / var_m)
+        else:
+            cv_c = float(cv_c)
         plain_value = max(g0, float(pv.mean()))
         pv = pv - cv_c * m_tau
         cv_vrf = float(var_p / max(pv.var(), 1e-300))

@@ -218,6 +218,21 @@ class Trainer:
         self._local_ema = objective == "local_ema"
         if self._local_ema and ema_decay is None:
             raise ValueError("objective='local_ema' requires ema_decay")
+        if x0_sampler is not None and objective == "global":
+            # Measured (round 3/4 smile studies): the global telescoping
+            # residual under a sampled X0 is systematically biased — the
+            # Y0 anchor averages over the X0 distribution and lifts the IV
+            # smile ~2 volpts; the local objective removes the floor
+            # (results_r4/smile_objectives.log: 3.51 -> 0.97 volpts).
+            import warnings
+
+            warnings.warn(
+                "x0_sampler with objective='global' is systematically "
+                "biased for surface training (~2-volpt IV lift, "
+                "results_r4/smile_objectives.log); use objective='local'",
+                UserWarning,
+                stacklevel=2,
+            )
         cfg_objective = "local" if self._local_ema else objective
 
         stochastic = mode.lower() == "sdenet"

@@ -154,3 +154,14 @@ def test_cv_boosted_lsmc(bs_put, bs_lsmc):
     assert cv.plain_value == bs_lsmc.value  # same paths, same policy
     tol = 4.0 * np.hypot(cv.standard_error, bs_lsmc.standard_error)
     assert abs(cv.value - bs_lsmc.value) < tol
+    # cv_c passthrough (ADVICE/VERDICT r4 weak #9): a FIXED coefficient is
+    # strictly unbiased (no same-path chat-fit) and must still agree and
+    # still reduce variance with the theoretical c=1.
+    fixed = lsmc_value(bs_put, N=N, n_regression=65_536, n_pricing=131_072,
+                       seed=0, cv_net_u=tr.net_u, cv_params=tr.params,
+                       cv_c=1.0)
+    assert fixed.cv_c == 1.0
+    assert fixed.plain_value == cv.plain_value  # identical paths/policy
+    assert fixed.cv_variance_reduction > 2.0
+    tol = 4.0 * np.hypot(fixed.standard_error, bs_lsmc.standard_error)
+    assert abs(fixed.value - bs_lsmc.value) < tol

@@ -22,8 +22,8 @@ from pathlib import Path
 import numpy as np
 
 PROBLEMS = ("bsb", "call1d", "callnd", "basket", "testcase", "hjb",
-            "heston", "american_put", "heston_american_put", "barrier_call",
-            "asian_call", "lookback_call")
+            "heston", "american_put", "heston_american_put", "max_call",
+            "barrier_call", "asian_call", "lookback_call")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -211,6 +211,16 @@ def make_problem(args):
         # drops the 1-D European-premium head.
         D = 1 if args.D == 100 else args.D
         return pde.AmericanPutOption(D=D, T=args.T, bs_head=(D == 1))
+    if args.problem == "max_call":
+        # Bermudan max-call benchmark (Broadie–Glasserman): its canonical
+        # protocol is T=3, 9 dates, d∈{2,3,5} — parser defaults (D=100,
+        # T=1, N=50) resolve to the benchmark values (D=2, T=3, N=45);
+        # explicit flags are honored (N must be a multiple of 9 dates).
+        D = 2 if args.D == 100 else args.D
+        T = 3.0 if args.T == 1.0 else args.T
+        N = 45 if args.N == 50 else args.N
+        args.N = N
+        return pde.BermudanMaxCall(D=D, T=T, N_steps=N)
     if args.problem == "heston_american_put":
         # American put under Heston — requires objective="local" (the CLI
         # default resolution below switches it on); bs-put head unless
@@ -298,6 +308,14 @@ def oracle_y0(problem, args) -> float | None:
         return float(numerics.lsmc_value(
             problem, N=args.N, n_regression=131_072, n_pricing=524_288,
             seed=0).value)
+    if name == "max_call":
+        # multi-asset: LSMC on the identical exact log-GBM chain with the
+        # order-statistics basis (constant regressor count in D). At the
+        # canonical configs this lands on the published Bermudan-9 values
+        # (d=2: 13.874±0.030 vs 13.902; d=5: 26.157±0.038 vs 26.15).
+        return float(numerics.lsmc_value(
+            problem, N=args.N, n_regression=131_072, n_pricing=524_288,
+            seed=0, basis="sorted").value)
     if name == "hjb":
         return float(numerics.hjb_exact_mc(
             jax.random.PRNGKey(0), 0.0, np.zeros(problem.dim), T=problem.T))

@@ -59,7 +59,11 @@ from dnnpde_tpu.numerics.qmc import (
     sobol_brownian_increments,
 )
 from dnnpde_tpu.numerics.quadrature import gauss_legendre
-from dnnpde_tpu.numerics.longstaff_schwartz import LSMCValue, lsmc_value
+from dnnpde_tpu.numerics.longstaff_schwartz import (
+    LSMCValue,
+    basis_size,
+    lsmc_value,
+)
 from dnnpde_tpu.numerics.variance_gamma import (
     VGParams,
     vg_basket_call,
@@ -75,6 +79,7 @@ __all__ = [
     "call_price_grid",
     "crr_binomial",
     "LSMCValue",
+    "basis_size",
     "lsmc_value",
     "basket_analytical_approx",
     "bsb_exact_solution",

@@ -33,11 +33,16 @@ def crr_binomial(
     payoff: str = "put",
     american: bool = True,
     exercise_every: int = 1,
+    q: float = 0.0,
 ) -> float:
     """CRR binomial price of a vanilla option with optional early exercise.
 
     Args:
       S0, K, T, r, sigma: spot, strike, maturity, rate, volatility.
+      q: continuous dividend yield (shifts the risk-neutral drift to
+        r − q; discounting stays at r). Makes early exercise of a CALL
+        optimal when q > 0 — the 1-asset degenerate case of the Bermudan
+        max-call benchmark (δ=10%) prices against this tree.
       n_steps: tree depth (price error is O(1/n) with the usual even/odd
         oscillation; 2000 is ≲ 1e-4 relative for ATM vanillas).
       payoff: "put" | "call".
@@ -61,7 +66,7 @@ def crr_binomial(
     u = float(np.exp(sigma * np.sqrt(dt)))
     d = 1.0 / u
     disc = float(np.exp(-r * dt))
-    p = (np.exp(r * dt) - d) / (u - d)
+    p = (np.exp((r - q) * dt) - d) / (u - d)
     if not (0.0 < p < 1.0):
         raise ValueError(
             f"risk-neutral up-probability {p:.4f} outside (0, 1): "

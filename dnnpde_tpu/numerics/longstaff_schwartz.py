@@ -121,16 +121,66 @@ def _simulate_paths(problem, N, n, seed, chol, dtype, x0=None,
     return np.asarray(Xs, np.float32), np.asarray(Minc, np.float64)
 
 
-def _basis(X, g, degree):
-    """Monomials of total degree ≤ ``degree`` over the D state coords,
-    plus the payoff itself (the classic LS extra regressor). (n, B)."""
+_MAX_BASIS = 256  # hard cap on regressors — past this the normal equations
+                  # are both slow and ill-conditioned; use basis="sorted"
+
+
+def basis_size(D: int, degree: int, basis: str = "monomial",
+               basis_top: int = 3) -> int:
+    """Number of regressors ``_basis`` will build (incl. the payoff column).
+
+    The full monomial basis is C(D+degree, degree) — combinatorial in D
+    (D=10, degree=3 → 286); the "sorted" basis is C(k+degree, degree)+k−1
+    with k = min(D, basis_top), CONSTANT in D.
+    """
+    k = D if basis == "monomial" else min(D, basis_top)
+    from math import comb
+
+    extra = 0 if basis == "monomial" else max(k - 1, 0)
+    return comb(k + degree, degree) + 1 + extra
+
+
+def _basis(X, g, degree, basis="monomial", basis_top=3):
+    """Regression features at one exercise date, (n, B).
+
+    - "monomial": monomials of total degree ≤ ``degree`` over ALL D state
+      coords, plus the payoff itself (the classic LS extra regressor).
+      Combinatorial in D — fine for small D.
+    - "sorted": monomials of the TOP ``basis_top`` order statistics
+      (coords sorted descending per sample) plus the payoff and the gaps
+      between consecutive order stats. For exchangeable dynamics with a
+      symmetric payoff (the Bermudan max-call family) the continuation
+      value IS a symmetric function — i.e. a function of the order
+      statistics — and the max payoff is driven by the leading ones, so
+      this structured basis scales to any D at constant regressor count
+      (Andersen–Broadie 2004 use the same idea for their max-call LSMC
+      policies).
+    """
     D = X.shape[1]
-    cols = []
-    for powers in itertools.product(range(degree + 1), repeat=D):
-        if sum(powers) <= degree:
-            cols.append(np.prod([X[:, d] ** p
-                                 for d, p in enumerate(powers)], axis=0))
+    if basis == "sorted":
+        k = min(D, basis_top)
+        Xs = -np.sort(-X, axis=1)[:, :k]  # descending order stats
+        cols = [np.prod([Xs[:, d] ** p for d, p in enumerate(powers)],
+                        axis=0)
+                for powers in itertools.product(range(degree + 1), repeat=k)
+                if sum(powers) <= degree]
+        # gaps between consecutive order stats: where the max is contested
+        # the continuation differs most from the single-asset picture
+        cols.extend(Xs[:, d] - Xs[:, d + 1] for d in range(k - 1))
+    elif basis == "monomial":
+        cols = [np.prod([X[:, d] ** p for d, p in enumerate(powers)],
+                        axis=0)
+                for powers in itertools.product(range(degree + 1), repeat=D)
+                if sum(powers) <= degree]
+    else:
+        raise ValueError(f"basis must be 'monomial' or 'sorted', got {basis!r}")
     cols.append(g)
+    if len(cols) > _MAX_BASIS:
+        raise ValueError(
+            f"{len(cols)} regressors (D={D}, degree={degree}, "
+            f"basis={basis!r}) exceeds the {_MAX_BASIS} cap — use "
+            "basis='sorted' (constant in D) or a lower degree"
+        )
     return np.stack(cols, axis=1)
 
 
@@ -170,6 +220,9 @@ def lsmc_value(
     cv_net_u=None,
     cv_params=None,
     cv_c: Optional[float] = None,
+    exercise_every: Optional[int] = None,
+    basis: str = "monomial",
+    basis_top: int = 3,
 ) -> LSMCValue:
     """Price the Bermudan-N contract of an ``early_exercise`` problem.
 
@@ -198,10 +251,22 @@ def lsmc_value(
     pricing paths themselves — slightly more variance reduction at the
     cost of an O(1/n_pricing) bias and an SE that omits the ĉ-estimation
     term (see the LSMCValue note).
+
+    ``exercise_every`` restricts exercise to grid indices that are
+    multiples of k (default: the problem's own ``exercise_every`` — 1 for
+    the put family, N/9 for the max-call benchmark); ``basis``/
+    ``basis_top`` select the regression features (see :func:`_basis` —
+    use "sorted" for symmetric multi-asset payoffs).
     """
     rate = probe_linear_driver(problem)
     dt = problem.T / N
     disc1 = 1.0 / (1.0 + rate * dt)
+    k_ex = int(getattr(problem, "exercise_every", 1)
+               if exercise_every is None else exercise_every)
+    if N % k_ex:
+        raise ValueError(
+            f"N={N} must be a multiple of exercise_every={k_ex}"
+        )
 
     def payoff(Xn):
         return np.asarray(problem.g(jnp.asarray(Xn)), np.float64)[:, 0]
@@ -212,12 +277,16 @@ def lsmc_value(
     fits = [None] * N  # fits[n] = continuation fit at date t_n (1-indexed -1)
     min_itm = 16 * (degree + 2)
     for n in range(N - 1, 0, -1):  # dates t_{N-1} .. t_1
+        y = CF * disc1  # one-step-discounted realized cash flow
+        if n % k_ex:  # not an exercise date — pure discounting
+            CF = y
+            continue
         Xn = Xs[n - 1]
         g_n = payoff(Xn)
-        y = CF * disc1  # one-step-discounted realized cash flow
         itm = g_n > 0.0
         if itm.sum() >= min_itm:
-            Phi = _basis(Xn.astype(np.float64), g_n, degree)
+            Phi = _basis(Xn.astype(np.float64), g_n, degree, basis,
+                         basis_top)
             fit = _fit(Phi, y, itm.astype(np.float64))
             cont = _predict(Phi, fit)
             ex = itm & (g_n > cont)
@@ -242,7 +311,7 @@ def lsmc_value(
             continue
         Xn = Xs[n - 1]
         g_n = payoff(Xn)
-        Phi = _basis(Xn.astype(np.float64), g_n, degree)
+        Phi = _basis(Xn.astype(np.float64), g_n, degree, basis, basis_top)
         cont = _predict(Phi, fits[n])
         ex = alive & (g_n > 0.0) & (g_n > cont)
         pv[ex] = g_n[ex] * disc1**n

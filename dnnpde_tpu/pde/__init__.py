@@ -7,6 +7,7 @@ from dnnpde_tpu.pde.problems import (
     AsianCallOption,
     BSPDETestCase,
     BasketCallOption,
+    BermudanMaxCall,
     BlackScholesBarenblatt,
     CallOption1D,
     CallOptionND,
@@ -21,6 +22,7 @@ __all__ = [
     "CallableProblem",
     "AmericanPutOption",
     "AsianCallOption",
+    "BermudanMaxCall",
     "BlackScholesBarenblatt",
     "CallOption1D",
     "CallOptionND",

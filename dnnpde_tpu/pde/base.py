@@ -117,6 +117,18 @@ class PDEProblem:
         reference has no early-exercise support anywhere."""
         return False
 
+    @property
+    def exercise_every(self) -> int:
+        """Exercise-date spacing IN SOLVER STEPS for early-exercise
+        problems: exercise is allowed at grid indices n = k, 2k, …, N
+        (maturity always included; immediate exercise at t=0 is the
+        outer ``max(g(x0), ·)`` read). 1 (default) = Bermudan-N with a
+        date at every step; k > 1 prices a Bermudan contract with N/k
+        dates on an N-step chain (e.g. the Broadie–Glasserman max-call
+        benchmark: 9 dates on a 45-step grid). The solver requires
+        N % exercise_every == 0."""
+        return 1
+
     def value_u(self, X: Array, u: Array) -> Array:
         """Served VALUE given the net's output u at (t, X): identity for
         European-style problems; the Snell-envelope read max(g(X), u) for

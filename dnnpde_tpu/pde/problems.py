@@ -195,6 +195,135 @@ class AmericanPutOption(PDEProblem):
 
 
 @dataclasses.dataclass(frozen=True)
+class BermudanMaxCall(PDEProblem):
+    """Bermudan MAX-CALL on d independent dividend-paying GBM assets — the
+    classic high-dimensional optimal-stopping benchmark (Broadie &
+    Glasserman 1997; Andersen & Broadie 2004 Table 2; Becker, Cheridito &
+    Jentzen 2019 Table 2): K=100, r=5%, dividend δ=10%, σ=20%, ρ=0, T=3,
+    nine equally spaced exercise dates t_j = jT/9. The reference's only
+    high-D payoff family is the basket call (``high_dimension_test.py:
+    627-629``) with no early exercise anywhere; this problem is its
+    optimal-stopping extension with PUBLISHED values to grade against
+    (d=2, S0=100: 13.902; d=5, S0=100: 26.15).
+
+    TPU-first chain design — two choices make the learned value EXACTLY
+    the published Bermudan-9 value (no Euler bias, no discounting-scheme
+    bias), so model error is pure learning error:
+
+    - State = LOG-prices: x_i = ln S_i. Then μ = (r − δ − σ²/2)·1 and
+      σ = σ̄·1 are CONSTANT, so the solver's explicit Euler step is the
+      exact GBM transition at any N.
+    - Driver φ = r̂·Y with r̂ = (e^{rΔt} − 1)/Δt: the discrete recursion's
+      per-step factor (1 + r̂Δt)⁻¹ is then exactly e^{−rΔt} — the solver
+      grid N only has to be a multiple of ``n_exercise``
+      (:attr:`exercise_every` masks the Snell clamp to the 9 dates).
+
+    Payoff g(x) = max(max_i e^{x_i} − K, 0). The output head (default)
+    anchors the net at max_i BSCall(S_i, τ; δ) — a LOWER bound on the
+    European max-call, hence on the continuation value — plus a
+    √(τ/T)-scaled softplus premium: exact at τ=0 (both terminal penalties
+    vanish by construction, same argument as :class:`AmericanPutOption`).
+
+    Requires ``Trainer(objective="local")``; grade against
+    ``numerics.lsmc_value(problem, N, basis="sorted")`` on the identical
+    chain and the published values above.
+    """
+
+    D: int = 2
+    S0: float = 100.0
+    strike: float = 100.0
+    r: float = 0.05
+    delta: float = 0.10
+    sigma_bar: float = 0.2
+    T: float = 3.0
+    n_exercise: int = 9
+    N_steps: int = 45  # solver grid; must be a multiple of n_exercise
+    head: bool = True
+    head_shift: float = -3.0
+    name: str = "BermudanMaxCall"
+
+    def __post_init__(self):
+        if self.N_steps % self.n_exercise:
+            raise ValueError(
+                f"N_steps={self.N_steps} must be a multiple of "
+                f"n_exercise={self.n_exercise}"
+            )
+
+    @property
+    def dim(self) -> int:
+        return self.D
+
+    @property
+    def K(self) -> float:
+        return self.strike
+
+    @property
+    def early_exercise(self) -> bool:
+        return True
+
+    @property
+    def exercise_every(self) -> int:
+        return self.N_steps // self.n_exercise
+
+    @property
+    def N_samples(self) -> int:
+        # Like the path-dependent contracts: the chain is calibrated to a
+        # specific grid (r̂ depends on Δt = T/N_steps), so the Trainer's N
+        # must match.
+        return self.N_steps
+
+    @property
+    def dt(self) -> float:
+        return self.T / self.N_steps
+
+    @property
+    def r_hat(self) -> float:
+        """Per-step driver rate making (1 + r̂Δt)⁻¹ = e^{−rΔt} exact."""
+        import math
+
+        return float(math.expm1(self.r * self.dt) / self.dt)
+
+    @property
+    def x0(self) -> Array:
+        return jnp.full((self.D,), jnp.log(self.S0), dtype=jnp.float32)
+
+    def mu(self, t, X, Y, Z):
+        drift = self.r - self.delta - 0.5 * self.sigma_bar**2
+        return jnp.full_like(X, drift)
+
+    def sigma(self, t, X, Y):
+        return jnp.full_like(X, self.sigma_bar)
+
+    def phi(self, t, X, Y, Z):
+        return self.r_hat * Y
+
+    def g(self, X):
+        mx = jnp.max(jnp.exp(X), axis=-1, keepdims=True)
+        return jnp.maximum(mx - self.K, 0.0)
+
+    @property
+    def has_output_transform(self) -> bool:
+        return self.head
+
+    def transform_u(self, t, X, u):
+        if not self.head:
+            return u
+        from dnnpde_tpu.numerics.black_scholes import black_scholes_call
+
+        S = jnp.exp(X)
+        tau = jnp.clip(self.T - t, 0.0, None)
+        base = jnp.max(
+            black_scholes_call(S, self.K, tau, self.r, self.sigma_bar,
+                               q=self.delta, cdf="tanh"),
+            axis=-1, keepdims=True,
+        )
+        premium = jnp.sqrt(tau / self.T) * jax.nn.softplus(
+            u + self.head_shift
+        )
+        return base + premium
+
+
+@dataclasses.dataclass(frozen=True)
 class UpAndOutCall(PDEProblem):
     """Discretely-monitored up-and-out barrier call — a PATH-DEPENDENT
     payoff, beyond anything in the reference (every reference payoff is a

@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "of broadcasting one point — u(0, .) is then "
                         "learned on the sampled region, not just at x0 "
                         "(beyond-reference; see sim.x0_samplers)")
+    p.add_argument("--x0-scale-v", type=float, default=None, metavar="SCALE",
+                   help="surface mode: override the jitter scale of the "
+                        "v-coordinate only (default: --x0-scale). Wider v "
+                        "sampling trains the vega direction the 2-D grade "
+                        "scores (heston --surface)")
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic (dW, -dW) training minibatches — "
                         "variance-reduced loss/gradient estimator (even M)")
@@ -169,6 +174,8 @@ def _surface_main(args) -> int:
         cfg_kwargs["budget"] = int(sum(args.iters))
     if args.ema_decay is not None:
         cfg_kwargs["ema_decay"] = args.ema_decay
+    if args.x0_scale_v is not None:
+        cfg_kwargs["x0_scale_v"] = args.x0_scale_v
     cfg = SurfaceConfig(**cfg_kwargs)
 
     out = Path(args.out)

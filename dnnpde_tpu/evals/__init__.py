@@ -6,6 +6,11 @@ from dnnpde_tpu.evals.control_variate import (
     neural_cv_from_trainer,
     neural_cv_value,
 )
+from dnnpde_tpu.evals.policy_value import (
+    PolicyValue,
+    policy_value,
+    policy_value_from_trainer,
+)
 from dnnpde_tpu.evals.correlation_analysis import (
     RandomCorrelationSensitivityAnalysis,
     equicorrelation_sensitivity,
@@ -35,6 +40,9 @@ __all__ = [
     "NeuralCVValue",
     "neural_cv_from_trainer",
     "neural_cv_value",
+    "PolicyValue",
+    "policy_value",
+    "policy_value_from_trainer",
     "ConvergenceAnalysis",
     "error_stats",
     "relative_l2_error",

@@ -498,6 +498,11 @@ class SurfaceConfig:
     budget: int = 20000
     # lognormal X0 jitter scale — the surface-training region (sim.lognormal_x0)
     x0_scale: float = 0.3
+    # v-coordinate jitter scale override (None → x0_scale). The vega
+    # direction is only as trained as it is sampled: at 0.3 the round-4
+    # vega rel-L2 sat at 8.5–12.4% (VERDICT r4 weak #3); widening only v
+    # attacks it without moving the smile protocol.
+    x0_scale_v: Optional[float] = None
     # backward-induction per-step objective (the surface-mode winner)
     objective: str = "local"
     # HestonPDE output head: "bs" control-variate (default) or "plain"
@@ -522,6 +527,9 @@ class SurfaceConfig:
     discrete_oracle_paths: int = 0
     # quality gate: mean |IV error| vs the closed form, in vol points
     iv_gate_volpts: float = 1.0
+    # quality gate on the surface2d rows: variance-vega ∂u/∂v rel-L2 on
+    # the v=v0 slice (VERDICT r4 #5: vega is graded, so it must be gated)
+    vega_gate_rel_l2: float = 0.05
 
 
 class HestonSurfaceExecutor:
@@ -610,10 +618,12 @@ class HestonSurfaceExecutor:
 
         cfg, p = self.cfg, self.problem
         layers = [p.dim + 1] + [cfg.width] * cfg.depth + [1]
+        scale = (cfg.x0_scale if cfg.x0_scale_v is None
+                 else [cfg.x0_scale, cfg.x0_scale_v])
         trainer = Trainer(
             p, M=cfg.M, N=cfg.N, layers=layers, mode="FC",
             activation="Sine", seed=cfg.seed, ema_decay=cfg.ema_decay,
-            x0_sampler=lognormal_x0(p.x0, cfg.x0_scale),
+            x0_sampler=lognormal_x0(p.x0, scale),
             objective=cfg.objective,
         )
         tic = time.time()
@@ -754,7 +764,8 @@ class HestonSurfaceExecutor:
                 seed=cfg.seed,
                 price2d_rel_l2=price2d,
                 vega_rel_l2=rel_l2(vega_m, vega_o),
-                ok=bool(price2d < 0.02),
+                ok=bool(price2d < 0.02
+                        and rel_l2(vega_m, vega_o) < cfg.vega_gate_rel_l2),
             )
 
     def _plot_surfaces(self, trainer) -> None:

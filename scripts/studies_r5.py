@@ -113,11 +113,20 @@ def max_call(dims=(2, 3, 5), seeds=(0, 1, 2), budget=20000, M=1024, N=45):
     (Andersen–Broadie 2004 Table 2 / Becker–Cheridito–Jentzen 2019:
     d=2 → 13.902, d=3 → 18.69, d=5 → 26.15) and (b) this repo's own LSMC
     on the IDENTICAL exact chain (sorted-basis, full budget) with its SE.
-    Acceptance: median rel err vs published ≤ 0.5% AND within 2 SE-ish of
-    the LSMC (the LSMC itself is low-biased ~0.2%, so the z is reported,
-    not gated)."""
+    TWO reads per seed: the direct net value max(g, u(0, x0)) — which
+    inherits the reflected objective's max-bootstrap bias (targets are
+    maxes of noisy estimates; measured +1.2–1.5% here) — and the POLICY
+    VALUE (evals.policy_value): fresh paths stopped by the net's own
+    exercise rule, the exact-lower-bound protocol behind the published
+    numbers themselves. Acceptance gates the policy value: median rel err
+    vs published ≤ 0.5% per dimension."""
+    import jax
+
+    from dnnpde_tpu.evals import policy_value
+    from dnnpde_tpu.nets import build_network
     from dnnpde_tpu.numerics import lsmc_value
     from dnnpde_tpu.pde import BermudanMaxCall
+    from dnnpde_tpu.solver import make_net_u
     from dnnpde_tpu.train import replica_values_at, train_replicas
 
     published = {2: 13.902, 3: 18.69, 5: 26.15}
@@ -138,32 +147,45 @@ def max_call(dims=(2, 3, 5), seeds=(0, 1, 2), budget=20000, M=1024, N=45):
             ema_decay=0.999, objective="local", log_every=2000,
         )
         u = replica_values_at(p, res, layers=layers)
+        net = build_network("FC", layers, "Sine")
+        net_u = make_net_u(net, transform=p.transform_u)
         rels = []
         for i, seed in enumerate(res.seeds):
             y0 = float(u[i, 0])
-            rel_pub = abs(y0 - pub) / pub if pub else None
-            z_lsmc = (y0 - ls.value) / ls.standard_error
+            params_i = jax.tree.map(lambda x: x[i], res.ema_params)
+            pv = policy_value(p, net_u, params_i, N=N,
+                              n_paths=1_048_576, seed=777)
+            rel_pub = abs(pv.value - pub) / pub if pub else None
+            rel_direct = abs(y0 - pub) / pub if pub else None
+            z_lsmc = (pv.value - ls.value) / ls.standard_error
             rels.append(rel_pub)
-            log(f"  seed {seed}: y0={y0:.4f}  rel vs published "
-                f"{100 * rel_pub:.2f}%  z vs LSMC {z_lsmc:+.1f}")
+            log(f"  seed {seed}: policy={pv.value:.4f}"
+                f"±{pv.standard_error:.4f} (rel {100 * rel_pub:.2f}%)  "
+                f"direct={y0:.4f} (rel {100 * rel_direct:.2f}%)  "
+                f"z vs LSMC {z_lsmc:+.1f}")
             row(study="max_call", D=D, seed=seed, M=M, N=N, budget=budget,
-                learned_y0=round(y0, 5), published=pub,
+                policy_value=round(pv.value, 5),
+                policy_se=round(pv.standard_error, 5),
+                direct_y0=round(y0, 5), published=pub,
                 lsmc=round(ls.value, 5),
                 lsmc_se=round(ls.standard_error, 5),
                 rel_err_vs_published=round(rel_pub, 5),
+                rel_err_direct=round(rel_direct, 5),
                 z_vs_lsmc=round(z_lsmc, 2),
-                semantics="trained-net EMA value at x0 vs published "
-                          "Bermudan-9 benchmark + own LSMC oracle")
+                semantics="policy value (fresh-path lower bound from the "
+                          "net's exercise rule — the published numbers' "
+                          "own protocol) + direct EMA read, vs published "
+                          "Bermudan-9 benchmark and own LSMC oracle")
         med = float(np.median(rels))
         ok = med <= 0.005
-        log(f"  median rel err {100 * med:.2f}%  "
+        log(f"  median policy rel err {100 * med:.2f}%  "
             f"wall {res.wall_time:.0f}s (compile {res.compile_time:.0f}s)"
             f"  -> {'OK' if ok else 'MISS'} (gate 0.5%)")
         row(study="max_call_summary", D=D, median_rel_err=round(med, 5),
             ok=ok, wall_time_s=round(res.wall_time, 1),
             compile_time_s=round(res.compile_time, 1),
-            semantics="per-dimension acceptance: median of 3 seeds vs "
-                      "published value, gate 0.5%")
+            semantics="per-dimension acceptance: median policy value of "
+                      "3 seeds vs published value, gate 0.5%")
 
 
 STUDIES = {"qmc_oracle": qmc_oracle, "max_call": max_call}

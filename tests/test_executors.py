@@ -138,6 +138,7 @@ def test_heston_surface_executor(tmp_path):
 
     cfg = SurfaceConfig(
         M=8, N=4, width=16, depth=2, budget=8, x0_scale=0.3,
+        x0_scale_v=0.6,  # per-coordinate v-widening path (VERDICT r4 #5)
         strikes=(0.9, 1.0, 1.1), smile_t_evals=(0.0, 0.5),
         t_evals=(0.0, 0.5), s_grid=(0.7, 1.4, 15), seed=0,
     )

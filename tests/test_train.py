@@ -592,6 +592,24 @@ def test_x0_sampler_helpers():
         gaussian_x0([1.0], scale=-1.0)
 
 
+def test_lognormal_x0_per_coordinate_scale():
+    """Vector scale: each coordinate keeps its mean but gets its own
+    log-space spread (the vega-direction widening, VERDICT r4 #5)."""
+    from dnnpde_tpu.sim import lognormal_x0
+
+    key = jax.random.PRNGKey(1)
+    ln = lognormal_x0([1.0, 0.09], scale=[0.3, 0.8])
+    X = np.asarray(ln(key, 40_000))
+    assert (X > 0).all()
+    np.testing.assert_allclose(X.mean(axis=0), [1.0, 0.09], rtol=0.03)
+    np.testing.assert_allclose(np.log(X).std(axis=0), [0.3, 0.8], rtol=0.05)
+    # scalar path unchanged; bad lengths and non-positive entries rejected
+    with pytest.raises(ValueError):
+        lognormal_x0([1.0, 0.2], scale=[0.3, 0.4, 0.5])
+    with pytest.raises(ValueError):
+        lognormal_x0([1.0, 0.2], scale=[0.3, 0.0])
+
+
 def test_x0_sampler_global_objective_warns():
     """VERDICT r4 weak #7: the exact configuration round 3 proved biased
     (sampled X0 + global objective, ~2-volpt smile lift) must warn; the

@@ -53,15 +53,24 @@ def _char_func(p: HestonParams, phi: Array, S: Array, V: Array, which: int) -> A
     i = 1j
     rspi = p.rho * p.sigma * i * phi
     d = jnp.sqrt((rspi - b) ** 2 - p.sigma**2 * (2 * u * i * phi - phi**2))
-    g = (b - rspi + d) / (b - rspi - d)
-    exp_dT = jnp.exp(d * p.T)
-    ge = g * exp_dT
-    # guard the removable singularity g·e^{dT} → 1 (reference :36)
+    # Trap-free (Albrecher–Mayer–Schoutens–Tistaert 2007) rotation: the
+    # reference's Heston-1993 form (``numerics/sv_heston.py:20-45``) uses
+    # g·e^{+dT}, which OVERFLOWS complex64 once Re(d)·T ≳ 88 (σ ≳ 0.5 at
+    # T=2 with the φ∈[0,100] quadrature) — NaN prices exactly where a
+    # calibration's early iterates wander (results_r5/calibration_grid.log).
+    # With g2 = 1/g and e^{−dT} every factor is bounded (Re(d) ≥ 0 from the
+    # principal sqrt), at any maturity and any admissible parameters; the
+    # function value is mathematically identical.
+    g2 = (b - rspi - d) / (b - rspi + d)
+    exp_mdT = jnp.exp(-d * p.T)
+    ge = g2 * exp_mdT
+    # guard the removable singularities ge → 1 and g2 → 1 (d → 0)
     ge = jnp.where(jnp.abs(ge - 1.0) < 1e-8, 1e-8, ge)
+    g2 = jnp.where(jnp.abs(g2 - 1.0) < 1e-8, 1e-8, g2)
     C = p.r * i * phi * p.T + (a / p.sigma**2) * (
-        (b - rspi + d) * p.T - 2.0 * jnp.log((1.0 - ge) / (1.0 - g))
+        (b - rspi - d) * p.T - 2.0 * jnp.log((1.0 - ge) / (1.0 - g2))
     )
-    Dv = ((b - rspi + d) / p.sigma**2) * ((1.0 - exp_dT) / (1.0 - ge))
+    Dv = ((b - rspi - d) / p.sigma**2) * ((1.0 - exp_mdT) / (1.0 - ge))
     S_safe = jnp.maximum(S, 1e-8)
     return jnp.exp(C + Dv * V + i * phi * jnp.log(S_safe))
 

@@ -365,6 +365,41 @@ class Trainer:
         self.collapse_restarts = []
         return self
 
+    def warm_start_from(self, other: "Trainer") -> "Trainer":
+        """Adopt another trainer's learned state — params, EMA shadow, RNG
+        key, iteration counter and history — and continue training HERE.
+
+        This is the continuation mechanism for phase-wise PROBLEM changes:
+        the problem is baked into the compiled chunk as constants, so e.g.
+        annealing a barrier monitor's smoothing β toward the hard contract
+        (``UpAndOutCall(smooth_beta=...)`` → ``smooth_beta=None``) means
+        constructing a new Trainer on the modified problem and warm-starting
+        it from the trained one. The optimizer state is NOT carried — the
+        next ``train()`` call re-initializes it, matching the reference's
+        fresh-optimizer-per-phase protocol (``1d_BSPDE_case.py:639-661``) —
+        and chunks recompile for the new problem's program. Returns self.
+        """
+        if (self.layers != other.layers or self.mode != other.mode
+                or self.activation != other.activation):
+            raise ValueError(
+                "warm_start_from requires an identical network: "
+                f"{self.mode}/{self.activation}/{self.layers} vs "
+                f"{other.mode}/{other.activation}/{other.layers}"
+            )
+        self.params = other.params
+        self._ema = other._ema
+        if self._replicate is not None:
+            self.params = jax.device_put(self.params, self._replicate)
+            if self._ema is not None:
+                self._ema = jax.device_put(self._ema, self._replicate)
+        self.key = other.key
+        self._opt_state = None
+        self._next_it = other._next_it
+        self.training_loss = list(other.training_loss)
+        self.iteration = list(other.iteration)
+        self.y0_log = list(other.y0_log)
+        return self
+
     @property
     def ema_params(self):
         """Polyak/EMA-averaged parameters (``ema_decay`` must be set).

@@ -188,7 +188,209 @@ def max_call(dims=(2, 3, 5), seeds=(0, 1, 2), budget=20000, M=1024, N=45):
                       "3 seeds vs published value, gate 0.5%")
 
 
-STUDIES = {"qmc_oracle": qmc_oracle, "max_call": max_call}
+def m2048_variance(reps=6):
+    """Explain the r4 driver-vs-session M=2048 f32 discrepancy (VERDICT r4
+    #3 / weak #1): 86.0 it/s of record vs 91.1–91.2 in the same session's
+    own logs (~6%). Three measurement groups, one process, real TPU:
+
+      isolated    — bench_tpu(2048) back-to-back ×reps (pure repeatability)
+      driver-order — replicate bench.py's exact sequence (m100 3000 iters,
+                     m512, then m2048 ×3): does prior device/host state
+                     depress the later row?
+      protocol    — longer runs (1500 iters / 3 chunks, 1000 iters / 1
+                     chunk): is the 500-iter window too short?
+
+    plus the bf16 row ×3 (the promoted large-M recommendation)."""
+    from bench import bench_tpu
+    from dnnpde_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/dnnpde_tpu_bench_xla",
+                             min_compile_time_secs=0.5)
+    N = 50
+
+    def group(name, vals, batch=2048):
+        vals = [float(v) for v in vals]
+        med = float(np.median(vals))
+        spread = (max(vals) - min(vals)) / med
+        log(f"  [{name}] " + "  ".join(f"{v:.1f}" for v in vals)
+            + f"  -> median {med:.1f} it/s = {med * batch * N:,.0f} "
+              f"path-steps/s, spread {100 * spread:.1f}%")
+        row(study="m2048_variance", group=name, iters_per_sec=vals,
+            median=round(med, 2),
+            median_path_steps_per_sec=round(med * batch * N),
+            spread_frac=round(spread, 4), semantics="measured-throughput")
+        return med
+
+    log("=== M=2048 f32 throughput variance study (round 5) ===")
+    log(f"-- isolated: {reps} back-to-back bench_tpu(2048, 500, 500) --")
+    group("isolated_f32", [bench_tpu(2048, 500, 500) for _ in range(reps)])
+
+    log("-- driver-order: m100(3000) then m512(1000) then m2048 x3 --")
+    m100 = bench_tpu(100, 3000, 1000)
+    m512 = bench_tpu(512, 1000, 1000)
+    log(f"  m100 {m100:.1f} it/s  m512 {m512:.1f} it/s")
+    row(study="m2048_variance", group="driver_order_prefix",
+        m100=round(m100, 1), m512=round(m512, 1),
+        semantics="measured-throughput")
+    group("after_m100_m512", [bench_tpu(2048, 500, 500) for _ in range(3)])
+
+    log("-- protocol: longer timed windows --")
+    group("f32_1500it_3chunks", [bench_tpu(2048, 1500, 500)])
+    group("f32_1000it_1chunk", [bench_tpu(2048, 1000, 1000)])
+
+    log("-- bf16 hidden-compute row (large-M recommendation) x3 --")
+    group("bf16", [bench_tpu(2048, 500, 500,
+                             net_kwargs={"compute_dtype": "bfloat16"})
+                   for _ in range(3)])
+
+
+def serve_reconcile(batches=(1024, 4096, 16384), iters=50):
+    """Reconcile the two serving numbers (VERDICT r4 #4): the r4 artifact
+    bench (5.4 µs/point at B=16k) vs ARCHITECTURE §8's device-native
+    0.22 µs/point. Hypothesis under test: the r4 protocol passed HOST
+    numpy inputs to every call, so each 'pipelined' call actually pays a
+    B×100-f32 host→device transfer through the tunnel (B=16384 → 6.5 MB;
+    at the measured tunnel bandwidth that alone is ~the 88 ms/call r4
+    observed). Three measurements per batch size, same chip, same blob:
+
+      host_input   — the r4 protocol verbatim (fresh numpy per call)
+      device_input — inputs device_put ONCE, then back-to-back artifact
+                     calls, one terminal block (true serving hot path)
+      native       — the session-native jitted (t,X)→(u,Z) on the SAME
+                     device-resident inputs (ARCHITECTURE §8's claim)
+
+    plus the raw host→device transfer time of one input batch, to show
+    host_input ≈ device_input + transfer."""
+    import os
+
+    import jax
+
+    from dnnpde_tpu.pde import BlackScholesBarenblatt
+    from dnnpde_tpu.serve import load_solution, save_solution
+    from dnnpde_tpu.train import Trainer
+
+    log("=== Serving reconciliation study (round 5) ===")
+    p = BlackScholesBarenblatt(D=100, T=1.0)
+    tr = Trainer(p, M=100, N=50, mode="FC", activation="Sine", seed=0,
+                 ema_decay=0.999)
+    tr.train(2000, 1e-3, log_every=1000, verbose=False)
+
+    path = "results_r5/bsb100_served.stablehlo"
+    save_solution(path, tr, use_ema=True)
+    served = load_solution(path)
+    log(f"artifact {os.path.getsize(path) / 1024:.0f} KiB, "
+        f"platforms {served.platforms}")
+
+    native = jax.jit(lambda t, X: tr.net_u(tr.ema_params, t, X))
+    rng = np.random.default_rng(0)
+    for b in batches:
+        Xh = np.asarray(rng.lognormal(0.0, 0.2, size=(b, 100)), np.float32)
+        th = np.zeros((b, 1), np.float32)
+
+        # raw transfer cost of one input batch (median of 5)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(Xh))
+            ts.append(time.perf_counter() - t0)
+        transfer_ms = 1e3 * float(np.median(ts))
+
+        Xd = jax.device_put(Xh)
+        td = jax.device_put(th)
+
+        def timed(fn, t_in, X_in):
+            u, Z = fn(t_in, X_in)          # warm
+            jax.block_until_ready((u, Z))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                u, Z = fn(t_in, X_in)
+            jax.block_until_ready((u, Z))
+            return (time.perf_counter() - t0) / iters
+
+        t_host = timed(served.u_and_grad_device, th, Xh)
+        t_dev = timed(served.u_and_grad_device, td, Xd)
+        t_nat = timed(native, td, Xd)
+        log(f"[B={b}] host_input {1e3 * t_host:7.2f} ms/call "
+            f"({1e6 * t_host / b:6.3f} us/pt) | device_input "
+            f"{1e3 * t_dev:7.2f} ms ({1e6 * t_dev / b:6.3f} us/pt) | "
+            f"native {1e3 * t_nat:7.2f} ms ({1e6 * t_nat / b:6.3f} us/pt) "
+            f"| transfer {transfer_ms:6.2f} ms "
+            f"| artifact/native {t_dev / t_nat:.2f}x")
+        row(study="serve_reconcile", batch=b, iters=iters,
+            host_input_us_per_eval=round(1e6 * t_host / b, 3),
+            device_input_us_per_eval=round(1e6 * t_dev / b, 3),
+            native_us_per_eval=round(1e6 * t_nat / b, 3),
+            transfer_ms=round(transfer_ms, 2),
+            host_minus_device_ms=round(1e3 * (t_host - t_dev), 2),
+            artifact_over_native=round(t_dev / t_nat, 3),
+            semantics="measured-throughput")
+
+
+def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """Hard-monitor barrier robustness via β-anneal (VERDICT r4 #6): the
+    r4 hard-monitor runs spread 0.24–3.6% across seeds
+    (results_r4/barrier_call.log) while the smooth β=50 monitor landed
+    0.88–0.89% — but the CONTRACT is the hard indicator. Anneal the
+    monitor smoothing toward the contract across the lr schedule
+    (β 50 → 150 → 400 → hard), carrying params/EMA/RNG through
+    ``Trainer.warm_start_from`` and grading the final HARD phase against
+    the exact hard-monitor discrete oracle (same Euler + post_step chain).
+    Protocol otherwise identical to r4's barrier_call (same budget split,
+    same layers, same y0_log read). Gate: ALL seeds ≤ 1%."""
+    from dnnpde_tpu.numerics import discrete_bsde_value
+    from dnnpde_tpu.pde import UpAndOutCall
+    from dnnpde_tpu.train import Trainer
+
+    log("=== Barrier β-anneal study (round 5) ===")
+    p_hard = UpAndOutCall(smooth_beta=None)
+    oracle = discrete_bsde_value(p_hard, N=N, n_paths=4_194_304, seed=99)
+    log(f"hard-monitor oracle {oracle.value:.6f} ± "
+        f"{oracle.standard_error:.2e}")
+    # same 20k total and lr ladder as r4's barrier_call; the β ladder
+    # spends the 1e-3 phase on the trainable smooth surface and the small-lr
+    # tail converting it to the hard contract
+    schedule = [(50.0, budget * 2 // 5, 1e-3), (150.0, budget // 5, 1e-4),
+                (400.0, budget // 5, 1e-4), (None, budget // 5, 1e-5)]
+    rels = []
+    for seed in seeds:
+        t0 = time.perf_counter()
+        tr = None
+        for beta, iters, lr in schedule:
+            nxt = Trainer(
+                UpAndOutCall(smooth_beta=beta), M=M, N=N,
+                layers=[3, 256, 256, 256, 256, 1], mode="FC",
+                activation="Sine", seed=seed, ema_decay=0.999,
+            )
+            if tr is not None:
+                nxt.warm_start_from(tr)
+            nxt.train(iters, lr, log_every=2000, verbose=False)
+            tr = nxt
+        y0 = float(tr.y0_log[-1])
+        rel = abs(y0 - oracle.value) / oracle.value
+        rels.append(rel)
+        log(f"  seed {seed}: y0={y0:.6f}  rel vs hard oracle "
+            f"{100 * rel:.2f}%  wall {time.perf_counter() - t0:.0f}s")
+        row(study="barrier_anneal", seed=seed, M=M, N=N, budget=budget,
+            beta_schedule=[b if b is not None else "hard"
+                           for b, _, _ in schedule],
+            learned_y0=round(y0, 6), oracle_discrete=round(oracle.value, 6),
+            oracle_se=round(float(oracle.standard_error), 8),
+            rel_err=round(rel, 5),
+            wall_time_s=round(time.perf_counter() - t0, 1),
+            semantics="r5-default")
+    ok = max(rels) <= 0.01
+    log(f"  worst seed {100 * max(rels):.2f}%  -> "
+        f"{'OK' if ok else 'MISS'} (gate: all seeds <= 1%; r4 hard "
+        f"monitor without anneal: 0.24/3.56/1.48%)")
+    row(study="barrier_anneal_summary", worst_rel_err=round(max(rels), 5),
+        ok=ok, semantics="per-study acceptance: all seeds <= 1% vs exact "
+                         "hard-monitor discrete oracle")
+
+
+STUDIES = {"qmc_oracle": qmc_oracle, "max_call": max_call,
+           "m2048_variance": m2048_variance,
+           "serve_reconcile": serve_reconcile,
+           "barrier_anneal": barrier_anneal}
 
 
 def main():

@@ -610,6 +610,36 @@ def test_lognormal_x0_per_coordinate_scale():
         lognormal_x0([1.0, 0.2], scale=[0.3, 0.0])
 
 
+def test_warm_start_from():
+    """warm_start_from: params/EMA/RNG/history carry into a trainer built
+    on a MODIFIED problem (the β-anneal mechanism, VERDICT r4 #6); the
+    iteration counter continues and mismatched nets are rejected."""
+    from dnnpde_tpu.pde import UpAndOutCall
+    from dnnpde_tpu.train import Trainer
+
+    kw = dict(M=16, N=5, layers=[3, 16, 16, 1], mode="FC",
+              activation="Sine", ema_decay=0.99)
+    tr1 = Trainer(UpAndOutCall(smooth_beta=50.0), seed=0, **kw)
+    tr1.train(20, 1e-3, log_every=10, verbose=False)
+    tr2 = Trainer(UpAndOutCall(smooth_beta=None), seed=123, **kw)
+    tr2.warm_start_from(tr1)
+    for a, b in zip(jax.tree.leaves(tr2.params), jax.tree.leaves(tr1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr2.ema_params),
+                    jax.tree.leaves(tr1.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr2.train(10, 1e-4, log_every=10, verbose=False)
+    # chunk logs record the chunk START index: [0, 10] from tr1, then the
+    # continued phase's chunk at 20 — the counter ran on across the swap
+    assert tr2.iteration == [0, 10, 20]
+    assert np.isfinite(tr2.training_loss[-1])
+
+    tr3 = Trainer(UpAndOutCall(), seed=0, M=16, N=5, layers=[3, 8, 8, 1],
+                  mode="FC", activation="Sine")
+    with pytest.raises(ValueError, match="identical network"):
+        tr3.warm_start_from(tr1)
+
+
 def test_x0_sampler_global_objective_warns():
     """VERDICT r4 weak #7: the exact configuration round 3 proved biased
     (sampled X0 + global objective, ~2-volpt smile lift) must warn; the

@@ -82,11 +82,19 @@ def train_replicas(
     ``1d_BSPDE_case.py:338-357``). The lr rides the chunk as a traced
     scalar, so ALL phases share one compiled chunk program.
     """
-    if objective not in ("global", "local"):
+    if objective not in ("global", "local", "local_ema"):
         raise ValueError(
-            "train_replicas supports objective 'global' or 'local' "
-            f"(got {objective!r}; 'local_ema' needs the Trainer)"
+            "train_replicas supports objective 'global', 'local' or "
+            f"'local_ema' (got {objective!r})"
         )
+    local_ema = objective == "local_ema"
+    if local_ema and ema_decay is None:
+        raise ValueError("objective='local_ema' requires ema_decay")
+    if local_ema:
+        # local with the per-replica EMA shadow as the frozen TARGET
+        # network (same semantics as Trainer(objective='local_ema'):
+        # targets from the pre-update shadow, which then absorbs the step)
+        objective = "local"
     if antithetic and M % 2:
         raise ValueError(f"antithetic requires even M, got {M}")
     seeds = tuple(int(s) for s in seeds)
@@ -139,9 +147,10 @@ def train_replicas(
                 X0 = x0_sampler(kx, M).astype(dtype)
         else:
             X0 = jnp.broadcast_to(x0, (M, D))
+        target = ema if local_ema else None
         (loss, y0), grads = jax.value_and_grad(
             lambda p: (lambda r: (r.loss, r.Y0))(
-                loss_fn(p, ts, dWs, X0, kn)
+                loss_fn(p, ts, dWs, X0, kn, target_params=target)
             ),
             has_aux=True,
         )(params)

@@ -766,9 +766,34 @@ def test_train_replicas_features_compose():
     assert u_ema.shape == (2, 1) and np.isfinite(u_ema).all()
     assert not np.allclose(u_ema, u_raw)
 
-    with pytest.raises(ValueError, match="objective"):
+    with pytest.raises(ValueError, match="ema_decay"):
         train_replicas(p, seeds=(0,), phases=[(2, 1e-3)], M=8, N=2,
                        layers=[2, 8, 8, 1], objective="local_ema")
+
+
+def test_train_replicas_local_ema_matches_solo_trainer():
+    """objective='local_ema' rides the replica program (round 5 — the
+    d>=3 max-call recipe needs 3-seed local_ema runs): replica k's
+    trajectory matches a solo Trainer(objective='local_ema', seed=k) to
+    float tolerance, frozen-EMA-target semantics included."""
+    from dnnpde_tpu.train import train_replicas
+
+    p = CallOption1D(D=1)
+    res = train_replicas(p, seeds=(0, 3), phases=[(60, 1e-3)], M=16, N=4,
+                         layers=[2, 16, 16, 1], ema_decay=0.95,
+                         objective="local_ema", log_every=30)
+    for i, seed in enumerate((0, 3)):
+        tr = Trainer(p, M=16, N=4, layers=[2, 16, 16, 1], seed=seed,
+                     ema_decay=0.95, objective="local_ema")
+        tr.train(60, 1e-3, log_every=30, verbose=False)
+        np.testing.assert_allclose(
+            res.y0s[i], np.asarray(tr.y0_log), rtol=2e-3, atol=2e-4
+        )
+    # the frozen-target objective actually differs from plain local
+    res_local = train_replicas(p, seeds=(0,), phases=[(60, 1e-3)], M=16,
+                               N=4, layers=[2, 16, 16, 1], ema_decay=0.95,
+                               objective="local", log_every=30)
+    assert abs(res.y0s[0, -1] - res_local.y0s[0, -1]) > 1e-7
 
 
 def test_heston_bs_default_composes_with_surface_features():

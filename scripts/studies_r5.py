@@ -663,6 +663,12 @@ def main():
     if len(sys.argv) < 2 or sys.argv[1] not in STUDIES:
         log(f"usage: studies_r5.py {{{','.join(STUDIES)}}}")
         return 2
+    # every study benefits from the persistent compile cache (first
+    # compiles through the tunneled TPU runtime cost 40-500 s)
+    from dnnpde_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/dnnpde_tpu_bench_xla",
+                             min_compile_time_secs=0.5)
     STUDIES[sys.argv[1]]()
     return 0
 

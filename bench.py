@@ -123,12 +123,26 @@ def main() -> None:
     # Large-batch throughput rows (driver-visible): the v5e keeps scaling
     # path-steps/s well past the reference's M=100 config.
     extra = {}
-    for batch, iters in ((512, 1000), (2048, 500)):
-        ips = bench_tpu(batch=batch, iters=iters, chunk=iters)
-        extra[f"m{batch}_iters_per_sec"] = round(ips, 1)
-        extra[f"m{batch}_path_steps_per_sec"] = round(ips * batch * N)
-    # Best-known large-batch config: bf16 hidden compute (accuracy held at
-    # the canonical budget — BENCH_REPORT_r2.jsonl "mixed_precision").
+    ips = bench_tpu(batch=512, iters=1000, chunk=1000)
+    extra["m512_iters_per_sec"] = round(ips, 1)
+    extra["m512_path_steps_per_sec"] = round(ips * 512 * N)
+    # m2048 f32: MEDIAN of 3 runs. The round-5 variance study
+    # (results_r5/m2048_variance.log) measured the in-session spread at
+    # 0.1-0.3% around 91.6-92.3 it/s (9.38-9.45M path-steps/s) across
+    # isolated, driver-order-replicated and long-window protocols — the
+    # round-4 driver row (86.0 it/s) was not reproducible under any of
+    # them and is attributed to driver-time environment variance (the
+    # tunneled runtime), not the protocol; the median-of-3 here bounds
+    # the damage a single slow window can do to the number of record.
+    runs = [bench_tpu(batch=2048, iters=500, chunk=500) for _ in range(3)]
+    ips = sorted(runs)[1]
+    extra["m2048_iters_per_sec"] = round(ips, 1)
+    extra["m2048_path_steps_per_sec"] = round(ips * 2048 * N)
+    extra["m2048_runs_iters_per_sec"] = [round(r, 1) for r in runs]
+    # Best-known large-batch config and the DOCUMENTED large-M
+    # recommendation: bf16 hidden compute (accuracy held at the canonical
+    # budget — BENCH_REPORT_r2.jsonl "mixed_precision"; round-5 median
+    # 102.1 it/s = 10.46M path-steps/s, +11% over f32, spread 0.1%).
     ips = bench_tpu(batch=2048, iters=500, chunk=500,
                     net_kwargs={"compute_dtype": "bfloat16"})
     extra["m2048_bf16_iters_per_sec"] = round(ips, 1)

@@ -21,6 +21,7 @@ Here the serving side needs only jax: ``load_solution(path).u_and_grad(t, X)``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -134,6 +135,16 @@ class ServedSolution:
 
     exported: Any  # jax.export.Exported
 
+    @functools.cached_property
+    def _call(self):
+        # jit-wrap the exported computation ONCE: a bare
+        # ``exported.call`` re-dispatches through the export machinery
+        # every call (~2.6-3.7 ms/call fixed overhead, batch-independent
+        # — measured in results_r5/serve_reconcile.log); under jit the
+        # lowered program is cached and dispatch matches a native jitted
+        # function.
+        return jax.jit(self.exported.call)
+
     @property
     def dim(self) -> int:
         return int(self.exported.in_avals[1].shape[1])
@@ -159,7 +170,7 @@ class ServedSolution:
         t = jnp.broadcast_to(
             jnp.asarray(t, jnp.float32).reshape(-1, 1), (X.shape[0], 1)
         )
-        return self.exported.call(t, X)
+        return self._call(t, X)
 
     def u(self, t, X) -> np.ndarray:
         return self.u_and_grad(t, X)[0]

@@ -340,7 +340,8 @@ def serve_reconcile(batches=(1024, 4096, 16384), iters=50):
             semantics="measured-throughput")
 
 
-def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000,
+                   schedule=None, tag="ladder"):
     """Hard-monitor barrier robustness via β-anneal (VERDICT r4 #6): the
     r4 hard-monitor runs spread 0.24–3.6% across seeds
     (results_r4/barrier_call.log) while the smooth β=50 monitor landed
@@ -363,8 +364,14 @@ def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
     # same 20k total and lr ladder as r4's barrier_call; the β ladder
     # spends the 1e-3 phase on the trainable smooth surface and the small-lr
     # tail converting it to the hard contract
-    schedule = [(50.0, budget * 2 // 5, 1e-3), (150.0, budget // 5, 1e-4),
-                (400.0, budget // 5, 1e-4), (None, budget // 5, 1e-5)]
+    if schedule is None:
+        # the original beta-LADDER (round-5 first attempt): measured
+        # WORSE than direct hard training (4.6-11.9% vs r4's 0.24-3.6%)
+        # because the smooth->hard VALUE shift (~17% at beta=50) lands on
+        # the low-lr tail. Kept selectable as the measured control.
+        schedule = [(50.0, budget * 2 // 5, 1e-3),
+                    (150.0, budget // 5, 1e-4),
+                    (400.0, budget // 5, 1e-4), (None, budget // 5, 1e-5)]
     rels = []
     for seed in seeds:
         t0 = time.perf_counter()
@@ -374,6 +381,8 @@ def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
                 UpAndOutCall(smooth_beta=beta), M=M, N=N,
                 layers=[3, 256, 256, 256, 256, 1], mode="FC",
                 activation="Sine", seed=seed, ema_decay=0.999,
+                objective="local",  # the shipped barrier objective —
+                # global is the r4-measured −19…−44% failure mode
             )
             if tr is not None:
                 nxt.warm_start_from(tr)
@@ -384,7 +393,8 @@ def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
         rels.append(rel)
         log(f"  seed {seed}: y0={y0:.6f}  rel vs hard oracle "
             f"{100 * rel:.2f}%  wall {time.perf_counter() - t0:.0f}s")
-        row(study="barrier_anneal", seed=seed, M=M, N=N, budget=budget,
+        row(study="barrier_anneal", variant=tag, seed=seed, M=M, N=N,
+            budget=budget,
             beta_schedule=[b if b is not None else "hard"
                            for b, _, _ in schedule],
             learned_y0=round(y0, 6), oracle_discrete=round(oracle.value, 6),
@@ -396,7 +406,8 @@ def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
     log(f"  worst seed {100 * max(rels):.2f}%  -> "
         f"{'OK' if ok else 'MISS'} (gate: all seeds <= 1%; r4 hard "
         f"monitor without anneal: 0.24/3.56/1.48%)")
-    row(study="barrier_anneal_summary", worst_rel_err=round(max(rels), 5),
+    row(study="barrier_anneal_summary", variant=tag,
+        worst_rel_err=round(max(rels), 5),
         ok=ok, semantics="per-study acceptance: all seeds <= 1% vs exact "
                          "hard-monitor discrete oracle")
 
@@ -548,13 +559,17 @@ def calibration_controls(noise_bp=(10.0, 25.0, 50.0), noise_seeds=(0, 1, 2)):
     del rng_master
 
 
-def calibration_net(seed=0):
+def calibration_net(seed=0, budget=20_000):
     """Stage 2 of the calibration-grid study (TPU): train the r4 surface
-    net once (identical protocol: local objective + bs head, 20k budget),
-    read its quote surface on the identical grid, calibrate with the
-    staged protocol. Gate (VERDICT r4 #8): all five params <= 5% from the
-    wrong start AND net rmse within 2x the control's rmse on its own
-    quotes. See _CAL_GRID_DOC."""
+    net once (identical protocol: local objective + bs head), read its
+    quote surface on the identical grid, calibrate with the staged
+    protocol. Gate (VERDICT r4 #8): all five params <= 5% from the wrong
+    start AND net rmse within 2x the control's rmse on its own quotes.
+    Measured at budget=20k (the r4 protocol): the net's own quote misfit
+    is ~57 bp, and the matched-noise control shows that misfit level
+    caps sigma/rho at ~17-25% — the calibration machinery is exact
+    (control: all params 0.01%), the NET's surface accuracy is the
+    binding constraint. See _CAL_GRID_DOC."""
     import importlib
 
     import jax.numpy as jnp
@@ -566,8 +581,8 @@ def calibration_net(seed=0):
     log("=== Calibration grid study, stage 2: net roundtrip (TPU) ===")
     p, tr, wall = r4._train_surface(
         "local", False, seed=seed, M=1024, width=512, x0_scale=0.3,
-        budget=20_000, output_mode="bs")
-    log(f"surface net trained ({wall:.0f}s)")
+        budget=budget, output_mode="bs")
+    log(f"surface net trained ({wall:.0f}s, budget {budget})")
 
     strikes = np.linspace(0.75, 1.3, 23)
     S_eval = (1.0 / strikes).astype(np.float32)
@@ -616,7 +631,7 @@ def calibration_net(seed=0):
             f"wall={time.perf_counter() - t0:.0f}s  "
             + "  ".join(f"{k}={float(getattr(f, k)):.4f}"
                         f"({100 * errs[k]:.1f}%)" for k in true))
-        row(study="calibration_net", fit=label, seed=seed,
+        row(study="calibration_net", fit=label, seed=seed, budget=budget,
             n_quotes=len(q), rmse_rel=round(res.rmse_rel, 8),
             net_quote_rmse_rel=round(mis, 8),
             train_wall_s=round(wall, 1),

@@ -530,6 +530,13 @@ class SurfaceConfig:
     # quality gate on the surface2d rows: variance-vega ∂u/∂v rel-L2 on
     # the v=v0 slice (VERDICT r4 #5: vega is graded, so it must be gated)
     vega_gate_rel_l2: float = 0.05
+    # Z-matching auxiliary-loss weight (SolverConfig.z_match_weight — the
+    # round-5 vega training-signal fix). 0 = off. When on, the mask
+    # isolates Heston's second Brownian (the v-only column of the
+    # Cholesky factor), giving ∂u/∂v a direct regression target without
+    # adding gradient noise to the converged S-greeks.
+    z_match_weight: float = 0.0
+    z_match_mask: tuple = (0.0, 1.0)
 
 
 class HestonSurfaceExecutor:
@@ -625,6 +632,8 @@ class HestonSurfaceExecutor:
             activation="Sine", seed=cfg.seed, ema_decay=cfg.ema_decay,
             x0_sampler=lognormal_x0(p.x0, scale),
             objective=cfg.objective,
+            z_match_weight=cfg.z_match_weight,
+            z_match_mask=cfg.z_match_mask,
         )
         tic = time.time()
         half, quarter = cfg.budget // 2, cfg.budget - 2 * (cfg.budget // 4)

@@ -150,6 +150,8 @@ class Trainer:
         x0_sampler=None,
         objective: str = "global",
         path_weight_fn=None,
+        z_match_weight: float = 0.0,
+        z_match_mask=None,
     ):
         self.problem = problem
         self.M = int(M)
@@ -260,6 +262,10 @@ class Trainer:
             solver_config = SolverConfig(
                 remat=act_bytes > threshold, stochastic_net=stochastic,
                 objective=cfg_objective, path_weight_fn=path_weight_fn,
+                z_match_weight=float(z_match_weight),
+                z_match_mask=(
+                    None if z_match_mask is None else tuple(z_match_mask)
+                ),
             )
         else:
             if cfg_objective != "global" and solver_config.objective != cfg_objective:
@@ -269,6 +275,13 @@ class Trainer:
             if path_weight_fn is not None:
                 solver_config = dataclasses.replace(
                     solver_config, path_weight_fn=path_weight_fn
+                )
+            if z_match_weight:
+                solver_config = dataclasses.replace(
+                    solver_config, z_match_weight=float(z_match_weight),
+                    z_match_mask=(
+                        None if z_match_mask is None else tuple(z_match_mask)
+                    ),
                 )
         self.config = solver_config
         # net_kwargs passes init policies through to the network factory —

@@ -412,6 +412,81 @@ def barrier_anneal(seeds=(0, 1, 2), N=50, M=1024, budget=20000,
                          "hard-monitor discrete oracle")
 
 
+def barrier_read(seeds=(0, 1, 2), N=50, M=1024, budget=20000):
+    """Hard-monitor barrier, read-variant diagnostic (VERDICT r4 #6,
+    second attack): both round-5 anneal mechanisms made the spread WORSE
+    (ladder 4.6–11.9%, warm-start 1.7–2.5% vs direct hard 0.24–3.6%), so
+    test the hypothesis that the spread is LAST-ITERATE NOISE in the
+    ``y0_log[-1]`` read, not training bias: rerun the exact r4 direct-hard
+    protocol (local objective, 20k budget 1e-3/1e-4/1e-5 ladder) and read
+    y0 three ways per seed —
+      raw   = y0_log[-1]               (the r4/r5 read of record)
+      ema   = net_u(ema_params)(0, x0) (Polyak shadow, decay 0.999)
+      tail  = mean of the last-phase y0_log (log_every=100 → 50 reads)
+    If ema/tail collapse the spread to ≤1%, the capability was there all
+    along and the READ ships; if not, the residual is training bias and
+    M=4096 is the next arm."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import discrete_bsde_value
+    from dnnpde_tpu.pde import UpAndOutCall
+    from dnnpde_tpu.train import Trainer
+
+    log("=== Barrier hard-monitor read-variant diagnostic (round 5) ===")
+    p = UpAndOutCall(smooth_beta=None)
+    oracle = discrete_bsde_value(p, N=N, n_paths=4_194_304, seed=99)
+    log(f"hard-monitor oracle {oracle.value:.6f} ± "
+        f"{oracle.standard_error:.2e}")
+    half, quarter = budget // 2, budget // 4
+    worst = {"raw": 0.0, "ema": 0.0, "tail": 0.0}
+    for seed in seeds:
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=M, N=N, layers=[3, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed,
+                     ema_decay=0.999, objective="local")
+        tr.train(half, 1e-3, log_every=2000, verbose=False)
+        tr.train(quarter, 1e-4, log_every=2000, verbose=False)
+        # final phase logged fine-grained for the tail statistics
+        tr.train(quarter, 1e-5, log_every=100, verbose=False)
+        n_tail = quarter // 100
+        tail = np.asarray(tr.y0_log[-n_tail:])
+        t0x = jnp.zeros((1, 1), jnp.float32)
+        u_ema, _ = tr.net_u(tr.ema_params, t0x, p.x0[None, :])
+        reads = {
+            "raw": float(tr.y0_log[-1]),
+            "ema": float(u_ema[0, 0]),
+            "tail": float(tail.mean()),
+        }
+        rels = {k: abs(v - oracle.value) / oracle.value
+                for k, v in reads.items()}
+        for k in worst:
+            worst[k] = max(worst[k], rels[k])
+        log(f"  seed {seed}: raw={reads['raw']:.6f} ({100*rels['raw']:.2f}%)"
+            f"  ema={reads['ema']:.6f} ({100*rels['ema']:.2f}%)"
+            f"  tail={reads['tail']:.6f} ({100*rels['tail']:.2f}%)"
+            f"  tail_std={tail.std():.6f}"
+            f" ({100*tail.std()/oracle.value:.2f}% of oracle)"
+            f"  wall {time.perf_counter()-t0:.0f}s")
+        row(study="barrier_read", seed=seed, M=M, N=N, budget=budget,
+            y0_raw=round(reads["raw"], 6), y0_ema=round(reads["ema"], 6),
+            y0_tail_mean=round(reads["tail"], 6),
+            tail_std=round(float(tail.std()), 6), n_tail=int(n_tail),
+            oracle_discrete=round(oracle.value, 6),
+            oracle_se=round(float(oracle.standard_error), 8),
+            rel_err_raw=round(rels["raw"], 5),
+            rel_err_ema=round(rels["ema"], 5),
+            rel_err_tail=round(rels["tail"], 5),
+            wall_time_s=round(time.perf_counter() - t0, 1),
+            semantics="r4 direct-hard protocol, three y0 reads per seed")
+    log("  worst per read: " + "  ".join(
+        f"{k}={100*v:.2f}%" for k, v in worst.items()))
+    for k, v in worst.items():
+        row(study="barrier_read_summary", read=k,
+            worst_rel_err=round(v, 5), ok=v <= 0.01,
+            semantics="gate: all seeds <= 1% vs exact hard-monitor "
+                      "discrete oracle, per read variant")
+
+
 def vega_surface(seeds=(0, 1, 2), x0_scale_v=0.6):
     """Variance-vega fix + gate (VERDICT r4 #5): the round-4 packaged
     driver graded ∂u/∂v at 8.5–12.4% rel-L2 while price/Δ sat at 0.1–0.6%
@@ -450,6 +525,224 @@ def vega_surface(seeds=(0, 1, 2), x0_scale_v=0.6):
             worst_vega_rel_l2=round(max(worst), 5), ok=ok,
             semantics="acceptance (VERDICT r4 #5): vega rel-L2 <= 5% at "
                       "every (seed, t_eval) on the packaged 3-seed driver")
+
+
+def vega_zmatch(seeds=(0, 1, 2), weights=(1.0,), x0_scale_v=0.6):
+    """Vega TRAINING-SIGNAL fix (VERDICT r4 #5, second attack): the
+    round-5 sampling arm (x0_scale_v=0.6) moved vega rel-L2 from 8.5–12.4%
+    to 4.0–10.5% but missed the 5% gate — the v-direction is sampled but
+    under-TRAINED: the BSDE residual sees ∂u/∂v only through Zᵀσ∆W, whose
+    v-column (σ_v√v ≈ 0.13) carries ~11× less signal energy than the
+    S-column. This study measures the martingale-representation Z-matching
+    auxiliary loss (SolverConfig.z_match_weight, mask (0,1) = the v-only
+    Brownian of the Cholesky factor) on the identical packaged protocol.
+    Run with one seed + several weights to probe λ, then 3 seeds at the
+    winner for the gate."""
+    from dnnpde_tpu.experiments import HestonSurfaceExecutor, SurfaceConfig
+
+    log(f"=== Vega z-matching study (round 5), weights={weights}, "
+        f"x0_scale_v={x0_scale_v} ===")
+    for weight in weights:
+        worst, worst_smile = [], []
+        for seed in seeds:
+            cfg = SurfaceConfig(seed=seed, x0_scale_v=x0_scale_v,
+                                smile_t_evals=(0.0, 0.25, 0.5),
+                                z_match_weight=weight)
+            rep = HestonSurfaceExecutor(cfg, "results_r5").execute()
+            for r in rep.rows:
+                row(study="vega_zmatch", z_match_weight=weight,
+                    x0_scale_v=x0_scale_v, **{
+                        k: (round(v, 6) if isinstance(v, float) else v)
+                        for k, v in r.items()})
+                if "vega_rel_l2" in r:
+                    worst.append(float(r["vega_rel_l2"]))
+                    log(f"  λ={weight} seed {seed} t={r.get('t')}: vega "
+                        f"rel-L2 {100 * r['vega_rel_l2']:.1f}%  price2d "
+                        f"{100 * r.get('price2d_rel_l2', float('nan')):.2f}%")
+                if "mean_abs_iv_err_volpts" in r:
+                    worst_smile.append(float(r["mean_abs_iv_err_volpts"]))
+        ok = max(worst) <= 0.05
+        log(f"  λ={weight}: worst vega rel-L2 {100 * max(worst):.1f}% -> "
+            f"{'OK' if ok else 'MISS'}; worst smile mean|err| "
+            f"{max(worst_smile):.2f} volpts (sampling-only arm: 4.0-10.5%)")
+        row(study="vega_zmatch_summary", z_match_weight=weight,
+            n_seeds=len(seeds), worst_vega_rel_l2=round(max(worst), 5),
+            worst_smile_mean_volpts=round(max(worst_smile), 4), ok=ok,
+            semantics="acceptance (VERDICT r4 #5): vega rel-L2 <= 5% at "
+                      "every (seed, t_eval), packaged driver + z-matching")
+
+
+def smile_rejects(seeds=(0, 1, 2)):
+    """3-seed the single-seed rejections (VERDICT r4 #7): the round-4
+    smile-objective shoot-out rejected global / local_ema / global_ivw /
+    local_ivw on ONE seed each. Rerun every arm (plus the 'local' winner
+    as control) on the IDENTICAL r4 protocol (M=256, width=256,
+    x0_scale=0.4, plain output, 20k budget 1e-3/1e-4/1e-5), 3 seeds per
+    arm — each arm one vmapped train_replicas program. Emits per-seed
+    rows + per-arm medians; the r4 conclusions are confirmed or revised
+    on the medians."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.nets import build_network
+    from dnnpde_tpu.numerics import HestonParams, heston_call_price, implied_vol
+    from dnnpde_tpu.pde import HestonPDE
+    from dnnpde_tpu.sim import lognormal_x0
+    from dnnpde_tpu.solver import SolverConfig, iv_space_weights, make_net_u
+    from dnnpde_tpu.train import train_replicas
+
+    strikes = np.linspace(0.75, 1.3, 23)
+    M, N, width, x0_scale, budget = 256, 50, 256, 0.4, 20000
+    p = HestonPDE(clamp_output=False)  # r4 protocol: plain output
+    cf = np.asarray([
+        float(heston_call_price(1.0, p.v0, HestonParams(
+            K=float(k), r=p.r, T=p.T, kappa=p.kappa, theta=p.theta,
+            sigma=p.sigma_v, rho=p.rho, v0=p.v0)))
+        for k in strikes
+    ])
+    cf_iv = np.asarray(implied_vol(cf, 1.0, strikes, p.T, p.r))
+    atm = int(np.argmin(np.abs(strikes - 1.0)))
+    layers = [3, width, width, width, width, 1]
+    net = build_network("FC", layers, "Sine")
+    net_u = make_net_u(net, transform=p.transform_u)
+    S_eval = (1.0 / strikes).astype(np.float32)
+    X_eval = jnp.stack([jnp.asarray(S_eval),
+                        jnp.full_like(jnp.asarray(S_eval), p.v0)], axis=-1)
+    t_eval = jnp.zeros((len(strikes), 1), jnp.float32)
+
+    arms = [
+        ("local", "local", False),       # the r4 winner — control arm
+        ("global", "global", False),
+        ("local_ema", "local_ema", False),
+        ("global_ivw", "global", True),
+        ("local_ivw", "local", True),
+    ]
+    log("=== Smile-objective rejected arms, 3 seeds each (round 5) ===")
+    log(f"protocol: M={M} width={width} x0_scale={x0_scale} budget={budget} "
+        f"plain output (identical to results_r4/smile_objectives.log)")
+    r4_single = {"local": 0.97, "global": 3.51, "local_ema": 27.7,
+                 "global_ivw": None, "local_ivw": None}
+    medians = {}
+    for tag, objective, weighted in arms:
+        cfg = None
+        if weighted:
+            cfg = SolverConfig(
+                remat=False, objective=(
+                    "local" if objective == "local_ema" else objective),
+                path_weight_fn=iv_space_weights(
+                    strike=p.strike, T=p.T, r=p.r),
+            )
+        t0 = time.perf_counter()
+        res = train_replicas(
+            p, seeds=seeds,
+            phases=[(budget // 2, 1e-3), (budget // 4, 1e-4),
+                    (budget // 4, 1e-5)],
+            M=M, N=N, layers=layers, ema_decay=0.999,
+            x0_sampler=lognormal_x0(p.x0, x0_scale),
+            objective=objective, config=cfg, log_every=2000,
+        )
+        wall = time.perf_counter() - t0
+        means = []
+        for k, seed in enumerate(seeds):
+            pk = jax.tree.map(lambda leaf: leaf[k], res.ema_params)
+            u, _ = net_u(pk, t_eval, X_eval)
+            prices = strikes * np.asarray(u[:, 0])
+            miv = np.asarray(implied_vol(prices, 1.0, strikes, p.T, p.r))
+            err = (miv - cf_iv) * 100.0
+            mean_abs = float(np.mean(np.abs(err)))
+            means.append(mean_abs)
+            log(f"  {tag:10s} seed {seed}: mean|err| {mean_abs:6.2f} volpts "
+                f"max {float(np.max(np.abs(err))):6.2f} "
+                f"atm {float(err[atm]):+6.2f}")
+            row(study="smile_rejects", variant=tag, seed=int(seed),
+                M=M, N=N, width=width, x0_scale=x0_scale, iters=budget,
+                mean_abs_iv_err_volpts=round(mean_abs, 3),
+                max_abs_iv_err_volpts=round(float(np.max(np.abs(err))), 3),
+                atm_iv_err_volpts=round(float(err[atm]), 3),
+                semantics="r4 smile protocol, vmapped 3-seed replica run")
+        med = float(np.median(means))
+        medians[tag] = med
+        log(f"  {tag:10s} median {med:.2f} volpts  (r4 single-seed: "
+            f"{r4_single[tag]})  replicas wall {wall:.0f}s")
+        row(study="smile_rejects_summary", variant=tag,
+            median_mean_abs_iv_err_volpts=round(med, 3),
+            seed_means=[round(v, 3) for v in means],
+            r4_single_seed_volpts=r4_single[tag],
+            wall_time_s=round(wall, 1),
+            semantics="per-arm 3-seed median vs the r4 single-seed verdict")
+    ranked = sorted(medians, key=medians.get)
+    log("  ranking by median: " + " < ".join(
+        f"{t}({medians[t]:.2f})" for t in ranked))
+    row(study="smile_rejects_ranking", ranking=ranked,
+        medians={k: round(v, 3) for k, v in medians.items()},
+        local_still_wins=bool(ranked[0] == "local"),
+        semantics="does the r4 winner survive 3 seeds per arm?")
+
+
+def barrier_m4096(seeds=(0, 1, 2), N=50, M=4096, budget=20000):
+    """Hard-monitor barrier, batch arm (VERDICT r4 #6, third attack):
+    the anneal mechanisms made the spread worse and the read-variant
+    diagnostic showed the EMA read helps (5.4% → 2.6% worst) but does
+    not cross 1% — the residual is per-seed TRAINING noise, and the
+    local objective's per-step regression noise scales as 1/√M. This
+    arm reruns the exact r4 direct-hard protocol at 4× batch (M=4096)
+    with all three reads per seed. Gate: some read ≤1% on EVERY seed."""
+    import jax.numpy as jnp
+
+    from dnnpde_tpu.numerics import discrete_bsde_value
+    from dnnpde_tpu.pde import UpAndOutCall
+    from dnnpde_tpu.train import Trainer
+
+    log(f"=== Barrier hard-monitor M={M} arm (round 5) ===")
+    p = UpAndOutCall(smooth_beta=None)
+    oracle = discrete_bsde_value(p, N=N, n_paths=4_194_304, seed=99)
+    log(f"hard-monitor oracle {oracle.value:.6f} ± "
+        f"{oracle.standard_error:.2e}")
+    half, quarter = budget // 2, budget // 4
+    worst = {"raw": 0.0, "ema": 0.0, "tail": 0.0}
+    for seed in seeds:
+        t0 = time.perf_counter()
+        tr = Trainer(p, M=M, N=N, layers=[3, 256, 256, 256, 256, 1],
+                     mode="FC", activation="Sine", seed=seed,
+                     ema_decay=0.999, objective="local")
+        tr.train(half, 1e-3, log_every=2000, verbose=False)
+        tr.train(quarter, 1e-4, log_every=2000, verbose=False)
+        tr.train(quarter, 1e-5, log_every=100, verbose=False)
+        n_tail = quarter // 100
+        tail = np.asarray(tr.y0_log[-n_tail:])
+        t0x = jnp.zeros((1, 1), jnp.float32)
+        u_ema, _ = tr.net_u(tr.ema_params, t0x, p.x0[None, :])
+        reads = {
+            "raw": float(tr.y0_log[-1]),
+            "ema": float(u_ema[0, 0]),
+            "tail": float(tail.mean()),
+        }
+        rels = {k: abs(v - oracle.value) / oracle.value
+                for k, v in reads.items()}
+        for k in worst:
+            worst[k] = max(worst[k], rels[k])
+        log(f"  seed {seed}: raw={reads['raw']:.6f} ({100*rels['raw']:.2f}%)"
+            f"  ema={reads['ema']:.6f} ({100*rels['ema']:.2f}%)"
+            f"  tail={reads['tail']:.6f} ({100*rels['tail']:.2f}%)"
+            f"  wall {time.perf_counter()-t0:.0f}s")
+        row(study="barrier_m4096", seed=seed, M=M, N=N, budget=budget,
+            y0_raw=round(reads["raw"], 6), y0_ema=round(reads["ema"], 6),
+            y0_tail_mean=round(reads["tail"], 6),
+            tail_std=round(float(tail.std()), 6),
+            oracle_discrete=round(oracle.value, 6),
+            oracle_se=round(float(oracle.standard_error), 8),
+            rel_err_raw=round(rels["raw"], 5),
+            rel_err_ema=round(rels["ema"], 5),
+            rel_err_tail=round(rels["tail"], 5),
+            wall_time_s=round(time.perf_counter() - t0, 1),
+            semantics="r4 direct-hard protocol at 4x batch, three reads")
+    log("  worst per read: " + "  ".join(
+        f"{k}={100*v:.2f}%" for k, v in worst.items()))
+    for k, v in worst.items():
+        row(study="barrier_m4096_summary", read=k, M=M,
+            worst_rel_err=round(v, 5), ok=v <= 0.01,
+            semantics="gate: all seeds <= 1% vs exact hard-monitor "
+                      "discrete oracle, per read variant")
 
 
 _CAL_GRID_DOC = """Identifiable calibration (VERDICT r4 #8). Round 4's
@@ -669,6 +962,10 @@ STUDIES = {"qmc_oracle": qmc_oracle, "max_call": max_call,
            "m2048_variance": m2048_variance,
            "serve_reconcile": serve_reconcile,
            "barrier_anneal": barrier_anneal,
+           "barrier_read": barrier_read,
+           "barrier_m4096": barrier_m4096,
+           "smile_rejects": smile_rejects,
+           "vega_zmatch": vega_zmatch,
            "calibration_controls": calibration_controls,
            "calibration_net": calibration_net,
            "vega_surface": vega_surface}
@@ -684,7 +981,15 @@ def main():
 
     enable_compilation_cache("~/.cache/dnnpde_tpu_bench_xla",
                              min_compile_time_secs=0.5)
-    STUDIES[sys.argv[1]]()
+    # optional key=value overrides, parsed as Python literals — e.g.
+    #   studies_r5.py vega_zmatch seeds=(0,) weights=(0.3,1.0,3.0)
+    import ast
+
+    kwargs = {}
+    for arg in sys.argv[2:]:
+        k, _, v = arg.partition("=")
+        kwargs[k] = ast.literal_eval(v)
+    STUDIES[sys.argv[1]](**kwargs)
     return 0
 
 

@@ -22,10 +22,16 @@ LOGS = [
     "results_r5/max_call_d35.log",
     "results_r5/m2048_variance.log",
     "results_r5/serve_reconcile.log",
+    "results_r5/serve_reconcile_jit.log",
     "results_r5/vega_surface.log",
-    "results_r5/barrier_anneal.log",
+    "results_r5/vega_zmatch.log",
+    "results_r5/barrier_warmstart.log",
+    "results_r5/barrier_read.log",
+    "results_r5/barrier_m4096.log",
+    "results_r5/smile_rejects.log",
     "results_r5/calibration_controls.log",
     "results_r5/calibration_net.log",
+    "results_r5/calibration_net_60k.log",
 ]
 
 
